@@ -1,0 +1,88 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: pages/sec through the flagship spatial filter-enrich-tile
+pipeline (parse coords -> attribute filter -> tag projection -> grid cell ->
+broadcast PIP join -> tiled noop write), on a deterministically generated
+pages table (BASELINE.json: synthesize at small scale; no external data).
+
+Also times each correctness query from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) so regressions in any
+operator show up per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+
+
+def run_pipeline(spark, n_pages: int) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ot_spark import filters, parse, spatial_join
+    from ot_spark.benchdata import pages_range_df
+
+    idx = entrymod._admin_index()
+    df = pages_range_df(spark, n_pages)
+    df = parse.with_coordinates(df)
+    df = filters.complex_filter(df)
+    df = filters.remove_tags(df)
+    out = spatial_join.enrich_with_admin(df, idx)
+    out = out.withColumn("__ok", F.length("url") > 0)
+    t0 = time.time()
+    out.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    return elapsed, n_pages
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from ot_spark.session import get_spark
+
+    spark = get_spark("ot_spark_bench", parallelism=cpus)
+
+    import __spark_entry__ as entrymod
+
+    q_times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t0, 3)
+
+    pipe_sec, n = run_pipeline(spark, BENCH_PAGES)
+    pages_per_sec = n / pipe_sec
+    q_times["flagship_pipeline"] = round(pipe_sec, 3)
+
+    sf = 0.1
+    if "sf0.01" in sf_dir:
+        sf = 0.01
+    elif "sf0.001" in sf_dir:
+        sf = 0.001
+
+    print(
+        json.dumps(
+            {
+                "metric": "pages_per_sec_spatial_pipeline",
+                "value": round(pages_per_sec, 1),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "bench_pages": n,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing, cluster-shaped configuration: AQE on (runtime re-plan,
+skew-join splitting, small-partition coalescing), Arrow on (all Python
+boundaries are vectorized), shuffle partitions sized to parallelism rather
+than the 200 default.  On a real cluster the same builder is used with
+``master`` left to spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ot_spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``parallelism`` controls local core count (``local[N]``); at cluster
+    scale it is ignored and executors come from spark-submit.  Shuffle
+    partitions default to 2x parallelism — enough to keep AQE's coalescing
+    busy without tiny-task overhead at local scale; at 100 TB this knob is
+    instead set to ~2-3x total executor cores and AQE coalesces down.
+    """
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * parallelism, 8)
+    if master is None:
+        master = f"local[{parallelism}]"
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(parallelism))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("OT_SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
