@@ -162,8 +162,72 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raster_index():
+    from ot_spark.raster import RasterIndex
+    from ot_spark.synth import gen_raster_tiles
+
+    return RasterIndex.from_arrow(gen_raster_tiles())
+
+
+def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 raster lookup join: finest-tile routing (CASE chain) + broadcast
+    numpy pixel gather in an Arrow UDF (geotiff.rs:240-301, 36-60)."""
+    from ot_spark.raster import enrich_with_elevation
+
+    df = pagesview.pages_df(spark, sf_dir)
+    out = enrich_with_elevation(df, _raster_index())
+    return out.select("doc_id", "raster_id", "elev")
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment interpolation (interpolate.rs:39-61): links between
+    consecutive even-doc region points, posexplode(sequence) intermediates."""
+    from ot_spark import densify
+
+    pts = pagesview.pages_df(spark, sf_dir).where("doc_id % 2 = 0")
+    nodes = pts.select(
+        F.col("doc_id").cast("string").alias("url"), "lat", "lon"
+    )
+    links = pts.select(
+        F.col("doc_id").alias("link_id"),
+        F.array(
+            F.col("doc_id").cast("string"),
+            (F.col("doc_id") + 2).cast("string"),
+        ).alias("refs"),
+    )
+    seg = densify.explode_segments(links, nodes)
+    out = densify.interpolate(seg, res_lon=0.05, res_lat=0.05)
+    return out.select(
+        "link_id",
+        F.col("i").cast("long").alias("i"),
+        F.round("lat", 6).alias("lat_i"),
+        F.round("lon", 6).alias("lon_i"),
+    )
+
+
+def q_split_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The way-split elevation threshold test as a window op
+    (geotiff.rs:561-568): |ele - (lag+lead)/2| >= t over partitioned seqs."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ele = (F.col("doc_id") * 37 % 200) / F.lit(2.0)
+    w = Window.partitionBy(F.col("doc_id") % 16).orderBy("doc_id")
+    df = docs.select("doc_id", ele.alias("ele"))
+    before = F.coalesce(F.lag("ele").over(w), F.col("ele"))
+    after = F.coalesce(F.lead("ele").over(w), F.col("ele"))
+    return (
+        df.withColumn("dev", F.round(F.abs(F.col("ele") - (before + after) / 2.0), 4))
+        .where(F.col("dev") >= 20.0)
+        .select("doc_id", "dev")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "elevation": q_elevation,
+        "interpolate": q_interpolate,
+        "split_threshold": q_split_threshold,
         "complex_filter": q_complex_filter,
         "tag_projection": q_tag_projection,
         "grid_cell": q_grid_cell,
@@ -197,8 +261,78 @@ FROM pts
 """
 
 
+def _elevation_oracle_sql() -> str:
+    """Arithmetic re-derivation of routing + affine pixel lookup + NoData:
+    the synthetic grids hold value = 100 + px*0.25 + py*0.5 (exact quarters/
+    halves — no FP hazard), fineA has NoData at flat indices % 97 == 0."""
+    tiles = [
+        ("fineA", 0.0, 0.0, 2.0, 2.0, 0.01, 97),
+        ("fineB", 1.0, 1.0, 3.0, 3.0, 0.01, 0),
+        ("coarse", -1.0, -1.0, 9.0, 5.0, 0.05, 0),
+    ]
+    rid_cases, val_cases = [], []
+    for rid, lo0, la0, lo1, la1, pix, nd in tiles:
+        w = round((lo1 - lo0) / pix)
+        h = round((la1 - la0) / pix)
+        contains = f"lon >= {lo0} AND lon < {lo1} AND lat >= {la0} AND lat < {la1}"
+        px = f"least(greatest(CAST(floor((lon - {lo0}) / {pix}) AS BIGINT), 0), {w - 1})"
+        py = f"least(greatest(CAST(floor(({la1} - lat) / {pix}) AS BIGINT), 0), {h - 1})"
+        # CASTs force double: DuckDB parses bare float literals as DECIMAL,
+        # which would format (and hash) differently from Spark's doubles
+        val = (
+            f"round(CAST(100.0 AS DOUBLE) + {px} * CAST(0.25 AS DOUBLE) "
+            f"+ {py} * CAST(0.5 AS DOUBLE), 2)"
+        )
+        if nd:
+            val = f"CASE WHEN (({py}) * {w} + ({px})) % {nd} = 0 THEN NULL ELSE {val} END"
+        rid_cases.append(f"WHEN {contains} THEN '{rid}'")
+        val_cases.append(f"WHEN {contains} THEN {val}")
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents
+)
+SELECT doc_id,
+       CASE {' '.join(rid_cases)} END AS raster_id,
+       CASE {' '.join(val_cases)} END AS elev
+FROM pts
+"""
+
+
+_INTERPOLATE_ORACLE_SQL = f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents WHERE doc_id % 2 = 0
+), segs AS (
+  SELECT a.doc_id AS link_id, a.lat AS fla, a.lon AS flo, b.lat AS tla, b.lon AS tlo,
+         CAST(ceil(greatest(abs(b.lat - a.lat) / 0.05, abs(b.lon - a.lon) / 0.05, 1.0)) AS BIGINT) AS n
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id + 2
+)
+SELECT link_id, i,
+       round(fla + i * ((tla - fla) / n), 6) AS lat_i,
+       round(flo + i * ((tlo - flo) / n), 6) AS lon_i
+FROM (SELECT *, unnest(generate_series(1, n - 1)) AS i FROM segs WHERE n > 1)
+"""
+
+_SPLIT_THRESHOLD_ORACLE_SQL = """
+WITH d AS (
+  SELECT doc_id, ((doc_id * 37) % 200) / 2.0 AS ele FROM documents
+), w AS (
+  SELECT doc_id, ele,
+         coalesce(lag(ele) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id), ele) AS bef,
+         coalesce(lead(ele) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id), ele) AS aft
+  FROM d
+)
+SELECT doc_id, round(abs(ele - (bef + aft) / 2.0), 4) AS dev
+FROM w WHERE round(abs(ele - (bef + aft) / 2.0), 4) >= 20.0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "elevation": _elevation_oracle_sql(),
+        "interpolate": _INTERPOLATE_ORACLE_SQL,
+        "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
         "complex_filter": (
             f"SELECT doc_id FROM documents WHERE {pagesview.complex_filter_sql()} "
             "ORDER BY doc_id"

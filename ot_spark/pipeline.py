@@ -1,0 +1,115 @@
+"""Config-driven pipeline assembly — the engine's ``run()`` entry point.
+
+Mirrors the reference's two chains (/root/reference/src/lib.rs:215-346)
+as ONE declarative plan (the pass-1 bitmap is just the semi-join build
+side — Catalyst needs no second read):
+
+  read pages ─ count(input) ─ [semi-join vs accepted links]        (J1/F7)
+    ─ [metadata removal]                                           (F11)
+    ─ count(accepted)
+    ─ parse coordinates (url/text/html)                            (graft)
+    ─ [no-elevation flag from skip-ele links]                      (skip_ele)
+    ─ [elevation enrichment]                                       (J3)
+    ─ [admin PIP enrichment]                                       (J2)
+    ─ tag projection (remove junk keys)                            (F10)
+    ─ count(output)
+    ─ write bucketed parquet + lineage  /  return frame
+
+Handler-chain order matters in the reference because handlers mutate
+shared state; here order is semantic only where it is in the reference
+too (tag projection after filters — filters must see removable-only
+elements, lib.rs:319-322 places TagFilterByKey late).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import filters, lineage, parse, semi, spatial_join
+from .area_index import AreaIndex
+from .metrics import PipelineMetrics
+from .raster import RasterIndex, enrich_with_elevation
+
+
+@dataclass
+class PipelineConfig:
+    pages_path: str
+    links_path: str | None = None
+    out_dir: str | None = None
+    lineage_path: str | None = None
+    filter_pages_by_links: bool = True      # -e node filtering analog
+    remove_metadata: bool = True            # --remove-metadata
+    with_elevation: bool = True             # -s/--elevation-tiffs
+    with_admin: bool = True                 # -c/--country-csv
+    keep_original_elevation: bool = False   # --keep-original-elevation
+    tile_size: float = 1.0
+    n_buckets: int = 64
+    admin_index: AreaIndex | None = None
+    raster_index: RasterIndex | None = None
+    run_id: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.metrics = PipelineMetrics()
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        cfg = self.config
+        pages = spark.read.parquet(cfg.pages_path)
+        pages = self.metrics.count_stage(pages, "input")
+
+        links = (
+            spark.read.parquet(cfg.links_path) if cfg.links_path else None
+        )
+        if links is not None and cfg.filter_pages_by_links:
+            pages = semi.filter_referenced(pages, links)
+        if cfg.remove_metadata:
+            pages = filters.remove_metadata(pages)
+        pages = self.metrics.count_stage(pages, "accepted")
+
+        pages = parse.with_coordinates(pages)
+        if links is not None:
+            pages = semi.with_no_elevation_flag(pages, links)
+        else:
+            pages = pages.withColumn("no_elevation", F.lit(False))
+
+        if cfg.with_elevation and cfg.raster_index is not None:
+            pages = enrich_with_elevation(
+                pages,
+                cfg.raster_index,
+                skip_col="no_elevation",
+                keep_original=cfg.keep_original_elevation,
+            )
+        if cfg.with_admin and cfg.admin_index is not None:
+            pages = spatial_join.enrich_with_admin(pages, cfg.admin_index)
+        else:
+            from .cells import grid_cell
+
+            pages = pages.withColumn(
+                "grid_cell", grid_cell(F.col("lat"), F.col("lon"), cfg.tile_size)
+            )
+        if "attrs" in pages.columns:
+            pages = filters.remove_tags(pages)
+        return self.metrics.count_stage(pages, "output")
+
+    def run(self, spark: SparkSession) -> dict:
+        cfg = self.config
+        out = self.build(spark)
+        if cfg.out_dir:
+            info = lineage.write_with_lineage(
+                out,
+                cfg.out_dir,
+                cfg.lineage_path or f"{cfg.out_dir}_lineage",
+                key_cols=["url"],
+                n_buckets=cfg.n_buckets,
+                run_id=cfg.run_id,
+            )
+        else:
+            info = {"rows": out.count()}
+        info["metrics"] = self.metrics.get()
+        return info

@@ -1,0 +1,173 @@
+"""Raster (elevation) enrichment — semantic mirror of BufferingElevationEnricher.
+
+Reference (/root/reference/src/handler/geotiff.rs):
+
+- R-tree routing: candidate tiffs whose WGS84 bbox contains the point,
+  sorted by pixel size ascending, first (=finest) wins (geotiff.rs:258-301).
+- Per-asset batching: nodes buffered per tiff, tiff opened once per flush
+  (geotiff.rs:406-435) — Spark expresses this natively: the lookup UDF gets
+  Arrow batches and indexes into per-raster numpy grids.
+- Pixel math: top-left origin affine, px = (lon-min_lon)/pixel_w,
+  py = (max_lat-lat)/pixel_h truncated (geotiff.rs:51-60).
+- NoData sentinel -> no value (geotiff.rs:42-49).
+- Skip flag: nodes of bridge/tunnel/... ways never get elevation
+  (skip_ele.rs + geotiff.rs:614-616).
+- keep-original: if the element already has an elevation, keep it
+  (geotiff.rs:427-429).
+- Values rounded to 2 decimals (the reference stringifies f32/f64 with 2dp,
+  geotiff.rs:94-118; we keep them numeric, same precision).
+
+Spark shape: the ROUTING INDEX (bboxes + pixel sizes, a few KB/tile) is
+rendered as a literal CASE expression in finest-first order — pure
+whole-stage-codegen arithmetic, zero shuffle, exactly the reference's
+"sorted candidates, first hit" rule.  The PIXEL GRIDS ride to executors as
+a broadcast of numpy arrays and are gathered vectorized inside an
+Arrow-batched pandas UDF.  At 100 TB this still holds while rasters fit
+executor memory (global DEMs at 90 m ≈ a few GB as float32 — broadcastable);
+beyond that the same API would swap the broadcast for a grid-cell-bucketed
+join against a raster-tile table, which cells.py already supports.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+class RasterIndex:
+    """Driver-side routing metadata + pixel grids (GeoTiffManager analog)."""
+
+    def __init__(self, tiles: list[dict]):
+        # finest resolution first; ties keep input order (stable sort, same
+        # as the reference's sort_by pixel size, geotiff.rs:281-288)
+        self.tiles = sorted(tiles, key=lambda t: t["pixel_w"] * t["pixel_h"])
+
+    @classmethod
+    def from_df(cls, raster_df: DataFrame) -> "RasterIndex":
+        tiles = []
+        for r in raster_df.collect():
+            d = r.asDict()
+            d["grid"] = np.asarray(d.pop("values"), dtype=np.float64).reshape(
+                d["height"], d["width"]
+            )
+            tiles.append(d)
+        return cls(tiles)
+
+    @classmethod
+    def from_arrow(cls, tbl) -> "RasterIndex":
+        tiles = []
+        for d in tbl.to_pylist():
+            d["grid"] = np.asarray(d.pop("values"), dtype=np.float64).reshape(
+                d["height"], d["width"]
+            )
+            tiles.append(d)
+        return cls(tiles)
+
+    def routing(self) -> list[dict]:
+        return [{k: v for k, v in t.items() if k != "grid"} for t in self.tiles]
+
+    def grids(self) -> dict[str, dict]:
+        return {
+            t["raster_id"]: {
+                "grid": t["grid"],
+                "min_lon": t["min_lon"],
+                "max_lat": t["max_lat"],
+                "pixel_w": t["pixel_w"],
+                "pixel_h": t["pixel_h"],
+                "width": t["width"],
+                "height": t["height"],
+                "nodata": t["nodata"],
+            }
+            for t in self.tiles
+        }
+
+
+def route_col(index: RasterIndex, lat: Column, lon: Column) -> Column:
+    """Finest-containing-tile raster_id as a literal CASE chain
+    ([min,max) bbox semantics so pixel indices stay in range)."""
+    expr = F.lit(None).cast("string")
+    for t in reversed(index.routing()):
+        contains = (
+            (lon >= F.lit(t["min_lon"]))
+            & (lon < F.lit(t["max_lon"]))
+            & (lat >= F.lit(t["min_lat"]))
+            & (lat < F.lit(t["max_lat"]))
+        )
+        expr = F.when(contains, F.lit(t["raster_id"])).otherwise(expr)
+    return expr
+
+
+def enrich_with_elevation(
+    df: DataFrame,
+    index: RasterIndex,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_col: str = "elev",
+    skip_col: str | None = None,
+    keep_original: bool = False,
+) -> DataFrame:
+    """Add ``raster_id`` and ``elev`` columns.
+
+    ``skip_col``: boolean column — rows with True never get a lookup
+    (skip_ele semantics).  ``keep_original``: rows with a pre-existing
+    non-null ``out_col`` keep it (geotiff.rs:427-429)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(index.grids())
+
+    @F.pandas_udf(DoubleType())
+    def lookup(it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        grids = bc.value
+        for rid_s, lon_s, lat_s in it:
+            out = np.full(len(rid_s), np.nan)
+            rids = rid_s.to_numpy(dtype=object)
+            lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            for rid in pd.unique(rid_s.dropna()):
+                g = grids.get(rid)
+                if g is None:
+                    continue
+                m = rids == rid
+                px = np.floor((lon_np[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
+                py = np.floor((g["max_lat"] - lat_np[m]) / g["pixel_h"]).astype(np.int64)
+                px = np.clip(px, 0, g["width"] - 1)
+                py = np.clip(py, 0, g["height"] - 1)
+                vals = g["grid"][py, px]
+                vals = np.where(vals == g["nodata"], np.nan, vals)
+                out[m] = vals
+            yield pd.Series(out)
+
+    routed = df.withColumn("raster_id", route_col(index, F.col(lat_col), F.col(lon_col)))
+    rid_for_lookup = F.col("raster_id")
+    if skip_col is not None:
+        rid_for_lookup = F.when(~F.coalesce(F.col(skip_col), F.lit(False)), rid_for_lookup)
+    if keep_original and out_col in df.columns:
+        rid_for_lookup = F.when(F.col(out_col).isNull(), rid_for_lookup)
+
+    looked = F.round(lookup(rid_for_lookup, F.col(lon_col), F.col(lat_col)), 2)
+    if keep_original and out_col in df.columns:
+        looked = F.coalesce(F.col(out_col), looked)
+    if skip_col is not None:
+        looked = F.when(~F.coalesce(F.col(skip_col), F.lit(False)), looked)
+    return routed.withColumn(out_col, looked)
+
+
+def elevation_stats(df: DataFrame, out_col: str = "elev", skip_col: str | None = None) -> dict:
+    """found / not-found / skipped counters (geotiff.rs:350-357)."""
+    skip = (
+        F.coalesce(F.col(skip_col), F.lit(False)) if skip_col else F.lit(False)
+    )
+    row = df.agg(
+        F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
+        F.count(F.when(F.col(out_col).isNull() & ~skip, 1)).alias("not_found"),
+        F.count(F.when(skip, 1)).alias("skipped"),
+    ).first()
+    return {
+        "elevation_found_node_count": row.found,
+        "elevation_not_found_node_count": row.not_found,
+        "elevation_skipped_node_count": row.skipped,
+    }
