@@ -223,11 +223,108 @@ def q_split_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- webtext operators
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (portable md5-string mode) over documents."""
+    from ot_spark.webtext.dedup import with_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = with_minhash(docs, k=4, shingle_n=3, hash_mode="md5")
+    return sigs.select(
+        "doc_id",
+        *[F.col("minhash").getItem(i).alias(f"m{i}") for i in range(4)],
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs of a bounded doc subset."""
+    from ot_spark.webtext.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 60")
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where("a < b")
+    # unigram shingles: the synthetic docs are word salad from a shared
+    # vocabulary — token-set Jaccard is the non-vacuous overlap measure
+    return jaccard_pairs(docs, pairs, shingle_n=1, threshold=0.2)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length / alpha / punct / stopword ratios)."""
+    from ot_spark.webtext.textstats import with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language id (argmax, alphabetical tie-break)."""
+    from ot_spark.webtext.textstats import with_langid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_langid(docs).select("doc_id", "lang_pred")
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding."""
+    from ot_spark.webtext.simsearch import cosine_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.where("vec_id = 0").first().embedding)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_col(F.col("embedding").cast("array<double>"), q), 4).alias("score"),
+    )
+    # order on the ROUNDED score (same tie-break as the oracle)
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based; rows-only check — DuckDB has
+    no xxhash64)."""
+    from ot_spark.webtext.dedup import simhash_near_pairs, with_simhash
+
+    # bounded subset: same-vocabulary word-salad docs are all mutually
+    # near in simhash space, so pair counts grow quadratically
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 500")
+    return simhash_near_pairs(with_simhash(docs), max_hamming=4)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (xxhash64; rows-only check)."""
+    from ot_spark.webtext.textstats import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs).select("doc_id", "fingerprint_min", "content_hash")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane-LSH ANN top-10 (rows-only: result quality is
+    pinned by tests/test_webtext.py recall assertions)."""
+    from ot_spark.webtext.simsearch import hyperplanes, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.where("vec_id = 0").first()
+    planes = hyperplanes(len(first.embedding), n_planes=4)
+    return lsh_topk(emb, list(first.embedding), planes, k=10, multiprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "elevation": q_elevation,
         "interpolate": q_interpolate,
         "split_threshold": q_split_threshold,
+        "minhash": q_minhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality": q_quality,
+        "langid": q_langid,
+        "topk_cosine": q_topk_cosine,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "lsh_ann": q_lsh_ann,
         "complex_filter": q_complex_filter,
         "tag_projection": q_tag_projection,
         "grid_cell": q_grid_cell,
@@ -328,11 +425,101 @@ FROM w WHERE round(abs(ele - (bef + aft) / 2.0), 4) >= 20.0
 """
 
 
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' '))"
+)
+
+_MINHASH_ORACLE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t)
+SELECT doc_id,
+  {', '.join(
+    f"list_min(list_transform(sh, x -> substr(md5(concat('{i}#', x)), 1, 16))) AS m{i}"
+    for i in range(4)
+  )}
+FROM s
+"""
+
+_JACCARD_ORACLE_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 60),
+s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [''] ELSE toks END AS sh FROM t),
+e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+"""
+
+
+def _stop_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _langid_oracle_sql() -> str:
+    from ot_spark.webtext.textstats import LANG_STOPWORDS
+
+    scores = {
+        lang: f"len(list_filter(toks, t -> list_contains({_stop_list_sql(words)}, t)))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    ordered = sorted(scores)
+    best = "'und'"
+    best_score = "0"
+    for lang in ordered:
+        best = f"CASE WHEN {scores[lang]} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"greatest({best_score}, {scores[lang]})"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, {best} AS lang_pred FROM t
+"""
+
+
+def _quality_oracle_sql() -> str:
+    from ot_spark.webtext.textstats import LANG_STOPWORDS
+
+    en = _stop_list_sql(LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  round(CAST(len(list_filter(toks, t -> list_contains({en}, t))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS stopword_ratio
+FROM t
+"""
+
+
+_TOPK_COSINE_ORACLE_SQL = """
+SELECT b.vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id = 0
+ORDER BY score DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "elevation": _elevation_oracle_sql(),
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
+        "minhash": _MINHASH_ORACLE_SQL,
+        "ngram_jaccard": _JACCARD_ORACLE_SQL,
+        "quality": _quality_oracle_sql(),
+        "langid": _langid_oracle_sql(),
+        "topk_cosine": _TOPK_COSINE_ORACLE_SQL,
         "complex_filter": (
             f"SELECT doc_id FROM documents WHERE {pagesview.complex_filter_sql()} "
             "ORDER BY doc_id"

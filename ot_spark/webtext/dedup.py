@@ -1,0 +1,271 @@
+"""Deduplication operators for document tables.
+
+All signature computation is JVM-side Column algebra (tokenize -> shingle ->
+hash -> min/band) so whole-stage codegen applies; only SimHash's bit tally
+uses an Arrow UDF (numpy bit math over pre-hashed tokens).
+
+Scale shape: MinHash-LSH is the canonical shuffle-light near-dup at 100 TB —
+signatures are computed map-side, the only shuffle is groupBy(band, hash)
+whose buckets are tiny; candidate verification joins only within buckets.
+Hash skew (boilerplate pages sharing a band bucket) is bounded by capping
+bucket size (``max_bucket`` — buckets above it are dropped as boilerplate
+clusters, logged via stats, the standard web-dedup practice).
+
+``hash_mode``:
+- 'xxhash' (default): xxhash64 — fastest, production path.
+- 'md5':   md5-hex-substring *strings* as hash values (min over hex strings
+  is a total order both Spark and DuckDB implement identically) — the
+  correctness-oracle path; slower but engine-portable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as strings; documents shorter than n tokens get
+    one shingle = the whole token sequence."""
+    joined = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+    return F.when(F.size(tokens) > 0, joined).otherwise(F.array(F.lit("")))
+
+
+def _hash_shingle(s: Column, seed: int, mode: str) -> Column:
+    if mode == "xxhash":
+        return F.xxhash64(s, F.lit(seed))
+    # portable: first 16 hex chars of md5("<seed>#"+s); min over these
+    # strings == min over the 64-bit prefix as unsigned ints
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 16)
+
+
+def minhash_signature(
+    shingles: Column, k: int = 16, hash_mode: str = "xxhash"
+) -> Column:
+    """array of k minhash values (long for xxhash, hex-string for md5)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: _hash_shingle(s, i, hash_mode)))
+            for i in range(k)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash",
+    out_col: str = "minhash",
+) -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    sh = shingles_col(toks, shingle_n)
+    return df.withColumn(out_col, minhash_signature(sh, k, hash_mode))
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+    out_band: str = "band",
+    out_key: str = "band_key",
+) -> DataFrame:
+    """Explode the signature into ``bands`` band-hash rows; equal
+    (band, band_key) => LSH candidate bucket."""
+    k = bands  # rows per band derived from signature length at runtime
+    sig = F.col(sig_col)
+    rows_per_band = F.size(sig) / F.lit(bands)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias(out_band),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.slice(
+                        sig,
+                        (b * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    ).cast("array<string>"),
+                )
+            ).alias(out_key),
+        ),
+    )
+    return df.select(id_col, sig_col, F.explode(band_structs).alias("b")).select(
+        id_col, sig_col, F.col(f"b.{out_band}").alias(out_band), F.col(f"b.{out_key}").alias(out_key)
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+    Buckets larger than ``max_bucket`` are dropped (boilerplate clusters)."""
+    b = lsh_band_buckets(df, id_col, sig_col, bands)
+    grouped = (
+        b.groupBy("band", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    ids_sorted = F.array_sort("ids")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids_sorted,
+                    lambda a, i: F.transform(
+                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                        lambda bb: F.struct(a.alias("a"), bb.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b").distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with EXACT n-gram Jaccard over distinct
+    shingle sets (the refine step after LSH)."""
+    sh = df.select(
+        F.col(id_col),
+        shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("sh"),
+    )
+    a = sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
+    bt = sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
+    joined = pairs.join(a, "a").join(bt, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """Full near-dup pipeline: signature -> LSH candidates -> exact Jaccard
+    verify -> connected-ish clustering (min-id representative via one
+    union step; exact CC would iterate — one step suffices for pair-shaped
+    duplicates, documented approximation)."""
+    sigs = with_minhash(df, text_col, k, shingle_n, hash_mode)
+    cands = minhash_candidate_pairs(sigs, id_col, bands=bands)
+    dups = jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold)
+    # representative = min id over the pair graph's direct neighborhood
+    rep = dups.select(F.col("b").alias(id_col), F.col("a").alias("rep")).groupBy(
+        id_col
+    ).agg(F.min("rep").alias("rep"))
+    return df.join(rep, id_col, "left").withColumn(
+        "rep", F.coalesce("rep", F.col(id_col))
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash: token hashes JVM-side (xxhash64), bit tally in a
+    vectorized Arrow UDF (numpy popcount-style accumulation)."""
+    hashes = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(LongType())
+    def tally(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            out = np.zeros(len(col), dtype=np.int64)
+            for row_i, arr in enumerate(col):
+                if arr is None or len(arr) == 0:
+                    continue
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 tally
+                sim = np.uint64(0)
+                for b in np.nonzero(votes > 0)[0]:
+                    sim |= np.uint64(1) << np.uint64(b)
+                out[row_i] = sim.astype(np.int64)
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, tally(hashes))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= k using the pigeonhole trick:
+    split 64 bits into (k+1) chunks; equal pairs must share one exact chunk
+    -> chunk-equality join (shuffle on tiny keys), verify with bit_count."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned(F.col(sim_col), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    e = df.select(id_col, sim_col, F.explode(chunk_structs).alias("c")).select(
+        id_col, sim_col, "c.chunk_id", "c.chunk_val"
+    )
+    a = e.withColumnsRenamed({id_col: "a", sim_col: "sim_a"})
+    b = e.withColumnsRenamed({id_col: "b", sim_col: "sim_b"})
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per exact content hash."""
+    h = df.withColumn("__h", F.md5(F.col(text_col)))
+    keep = h.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: JVM-side ``F.zip_with``/``F.aggregate`` dot
+  products — exact baseline, O(N) per query, the right answer up to ~10^7
+  rows per executor-scan.
+- LSH (random hyperplane) bucketed search: deterministic numpy hyperplanes
+  broadcast as literals, signature = packed sign bits (JVM arithmetic),
+  query probes only its bucket (+ multiprobe neighbors) — the scale path:
+  the scan prunes to a bucket-equality filter that parquet min/max stats
+  and AQE love.
+- IVF variant: k centroids trained driver-side on a deterministic sample
+  (numpy Lloyd iterations), assignment via JVM dot-product argmax; search
+  probes the nearest ``nprobe`` centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        id_col, F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """Packed sign-bit signature as a long — pure JVM arithmetic (one dot
+    product per plane, n_planes <= 63)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    return df.withColumn(
+        out_col, lsh_signature_col(F.col(vec_col).cast("array<double>"), planes)
+    )
+
+
+def _sig_of(query_vec: list[float], planes: np.ndarray) -> int:
+    dots = planes @ np.asarray(query_vec, dtype=np.float64)
+    return int(sum(1 << i for i, d in enumerate(dots) if d > 0))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Approximate top-k: score only rows in the query's bucket and its
+    Hamming<=multiprobe neighbor buckets (classic multiprobe LSH)."""
+    if bucket_col not in df.columns:
+        df = with_lsh_bucket(df, planes, vec_col, bucket_col)
+    qsig = _sig_of(query_vec, planes)
+    probes = {qsig}
+    if multiprobe >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(len(planes))}
+    if multiprobe >= 2:
+        for i in range(len(planes)):
+            for j in range(i + 1, len(planes)):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    cand = df.where(F.col(bucket_col).isin([int(p) for p in probes]))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2000,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic mini-Lloyd on a driver-side sample (dimension table
+    scale — the sample, not the corpus, comes to the driver)."""
+    rows = (
+        df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed))).limit(sample).collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign nearest centroid via JVM dot-product argmax (greatest + CASE —
+    no UDF; n_centroids is small by construction)."""
+    vec = F.col(vec_col).cast("array<double>")
+    dots = [
+        _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias(f"__d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    tmp = df.select("*", *dots)
+    best = F.lit(0)
+    best_val = F.col("__d0")
+    for i in range(1, len(centroids)):
+        cond = F.col(f"__d{i}") > best_val
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_val = F.when(cond, F.col(f"__d{i}")).otherwise(best_val)
+    return tmp.withColumn(out_col, best).drop(*[f"__d{i}" for i in range(len(centroids))])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    if cell_col not in df.columns:
+        df = with_ivf_cell(df, centroids, vec_col, cell_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q))[:nprobe]
+    cand = df.where(F.col(cell_col).isin([int(c) for c in order]))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,119 @@
+"""Text analysis: language-id, quality scoring, token stats, fingerprints.
+
+Everything is JVM Column algebra (regexp + array + aggregate expressions) —
+no Python in the hot path at all.  These are the per-document map-side
+transforms a 100 TB curation pipeline runs before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# tiny deterministic stopword profiles (heuristic lang-id; a real system
+# would ship n-gram tables — same plumbing, bigger literals)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "para", "por", "con"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet", "met", "voor"],
+}
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(
+            F.filter(tokens, lambda t: t.isin(words))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predicted_lang(tokens: Column) -> Column:
+    """argmax over stopword-hit counts; ties -> alphabetical first; zero
+    hits -> 'und' (undetermined)."""
+    scores = lang_scores(tokens)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, predicted_lang(tokens_col(F.col(text_col))))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "n_chars": n_chars.cast("long"),
+        "alpha_ratio": F.round(alpha_chars / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(punct_chars / F.greatest(n_chars, F.lit(1)), 6),
+        "mean_token_len": F.round(mean_tok_len, 6),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    feats = quality_features(F.col(text_col))
+    out = df.withColumns(feats)
+    # simple composite score in [0,1]: length-normalized, penalize
+    # punctuation soup, reward alpha + stopword presence
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.col("alpha_ratio") * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.1
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+FP_PRIME = 2147483647  # 2^31 - 1: keeps the rolling product ANSI-overflow-safe
+
+
+def rolling_fingerprints(
+    tokens: Column, window: int = 8
+) -> Column:
+    """Rabin-Karp-style window fingerprints: polynomial rolling hash of each
+    ``window``-token span, all JVM arithmetic, mod 2^31-1."""
+    def window_hash(i: Column) -> Column:
+        span = F.slice(tokens, i + 1, window)
+        return F.aggregate(
+            span,
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(FP_PRIME)), F.lit(FP_PRIME)),
+        )
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - window, F.lit(0)))
+    return F.transform(idx, window_hash)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Winnowing-lite document fingerprint: min window hash (stable under
+    local edits) + full-content hash."""
+    toks = tokens_col(F.col(text_col))
+    fps = rolling_fingerprints(toks, window)
+    return df.withColumns(
+        {
+            "fingerprint_min": F.array_min(fps).cast("long"),
+            "content_hash": F.md5(F.col(text_col)),
+        }
+    )
