@@ -312,8 +312,95 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, list(first.embedding), planes, k=10, multiprobe=2)
 
 
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rank: top-3 orders per customer by price (SURVEY §2.5
+    sorts/limits family)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family; absent in the reference,
+    table-stakes for the engine)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table: 30-min-gap session ids
+    via lag + running sum (stateful-streaming analog, batch form)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = ev.select("user_id", "event_id", sess.alias("session_no"))
+    return (
+        df.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell encode (level 10) + per-cell rollup (north_star tiling;
+    rows-only: id algebra pinned by tests/test_s2h3.py invariants)."""
+    from ot_spark.s2h3 import with_s2_cell
+
+    df = pagesview.pages_df(spark, sf_dir)
+    out = with_s2_cell(df, level=10)
+    return out.groupBy("s2_10").agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+
+
+def q_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3ish res-7/9 encode + hierarchy rollup (rows-only)."""
+    from ot_spark.s2h3 import with_h3ish_cells
+
+    df = pagesview.pages_df(spark, sf_dir)
+    out = with_h3ish_cells(df, (7, 9))
+    return out.groupBy("h3_7").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("h3_9").cast("long").alias("n_children"),
+    )
+
+
+def q_knn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN nearest-raster-tile via h3ish k-ring expansion (north_star;
+    rows-only)."""
+    from ot_spark.s2h3 import knn_nearest_raster
+
+    df = pagesview.pages_df(spark, sf_dir)
+    out = knn_nearest_raster(df, _raster_index(), res=2, max_k=4)
+    return out.select("doc_id", "knn_raster_id", "knn_k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "topn_per_group": q_topn_per_group,
+        "rollup_revenue": q_rollup_revenue,
+        "sessionize": q_sessionize,
+        "s2_tiles": q_s2_tiles,
+        "h3_tiles": q_h3_tiles,
+        "knn_raster": q_knn_raster,
         "elevation": q_elevation,
         "interpolate": q_interpolate,
         "split_threshold": q_split_threshold,
@@ -510,8 +597,47 @@ LIMIT 10
 """
 
 
+_TOPN_ORACLE_SQL = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+_ROLLUP_ORACLE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_SESSIONIZE_ORACLE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN es - lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess, ts
+  FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events) e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "topn_per_group": _TOPN_ORACLE_SQL,
+        "rollup_revenue": _ROLLUP_ORACLE_SQL,
+        "sessionize": _SESSIONIZE_ORACLE_SQL,
         "elevation": _elevation_oracle_sql(),
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,

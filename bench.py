@@ -23,19 +23,20 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
 
 
 def run_pipeline(spark, n_pages: int) -> tuple[float, int]:
-    from pyspark.sql import functions as F
-
+    """Flagship: parse -> filter -> project -> tile (grid+S2+h3ish) ->
+    broadcast PIP join -> raster elevation -> noop sink."""
     import __spark_entry__ as entrymod
-    from ot_spark import filters, parse, spatial_join
+    from ot_spark import filters, parse
     from ot_spark.benchdata import pages_range_df
+    from ot_spark.enrich_fused import spatial_enrich
 
     idx = entrymod._admin_index()
+    ridx = entrymod._raster_index()
     df = pages_range_df(spark, n_pages)
     df = parse.with_coordinates(df)
     df = filters.complex_filter(df)
     df = filters.remove_tags(df)
-    out = spatial_join.enrich_with_admin(df, idx)
-    out = out.withColumn("__ok", F.length("url") > 0)
+    out = spatial_enrich(df, idx, ridx)
     t0 = time.time()
     out.write.format("noop").mode("overwrite").save()
     elapsed = time.time() - t0

@@ -25,22 +25,33 @@ TEXT_GEO_RE = r"coords:\s*(-?\d+(?:\.\d+)?),\s*(-?\d+(?:\.\d+)?)"
 HTML_GEO_RE = r'geo\.position"\s+content="(-?\d+(?:\.\d+)?);(-?\d+(?:\.\d+)?)"'
 
 
-def _extract(col: Column, pattern: str, group: int) -> Column:
-    raw = F.regexp_extract(col, pattern, group)
+def _extract(col: Column, pattern: str, group: int, guard: str) -> Column:
+    """Regex gated behind a cheap substring test: ``contains`` is ~10x
+    cheaper than the regex engine, and most rows miss most sources."""
+    raw = F.when(col.contains(guard), F.regexp_extract(col, pattern, group))
     return F.when(raw != "", raw.cast("double"))
 
 
 def lat_lon_from_url(url: Column) -> tuple[Column, Column]:
-    return _extract(url, URL_GEO_RE, 1), _extract(url, URL_GEO_RE, 2)
+    return (
+        _extract(url, URL_GEO_RE, 1, "/geo/"),
+        _extract(url, URL_GEO_RE, 2, "/geo/"),
+    )
 
 
 def lat_lon_from_text(text: Column) -> tuple[Column, Column]:
-    return _extract(text, TEXT_GEO_RE, 1), _extract(text, TEXT_GEO_RE, 2)
+    return (
+        _extract(text, TEXT_GEO_RE, 1, "coords:"),
+        _extract(text, TEXT_GEO_RE, 2, "coords:"),
+    )
 
 
 def lat_lon_from_html(html: Column) -> tuple[Column, Column]:
     decoded = F.decode(html, "UTF-8")
-    return _extract(decoded, HTML_GEO_RE, 1), _extract(decoded, HTML_GEO_RE, 2)
+    return (
+        _extract(decoded, HTML_GEO_RE, 1, "geo.position"),
+        _extract(decoded, HTML_GEO_RE, 2, "geo.position"),
+    )
 
 
 def with_coordinates(df: DataFrame) -> DataFrame:

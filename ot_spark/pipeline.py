@@ -45,6 +45,7 @@ class PipelineConfig:
     with_elevation: bool = True             # -s/--elevation-tiffs
     with_admin: bool = True                 # -c/--country-csv
     keep_original_elevation: bool = False   # --keep-original-elevation
+    fused_enrich: bool = True               # one Arrow round-trip (perf path)
     tile_size: float = 1.0
     n_buckets: int = 64
     admin_index: AreaIndex | None = None
@@ -77,6 +78,24 @@ class Pipeline:
             pages = semi.with_no_elevation_flag(pages, links)
         else:
             pages = pages.withColumn("no_elevation", F.lit(False))
+
+        if (
+            cfg.fused_enrich
+            and cfg.with_admin
+            and cfg.admin_index is not None
+            and not cfg.keep_original_elevation
+        ):
+            from .enrich_fused import spatial_enrich
+
+            pages = spatial_enrich(
+                pages,
+                cfg.admin_index,
+                cfg.raster_index if cfg.with_elevation else None,
+                skip_col="no_elevation",
+            )
+            if "attrs" in pages.columns:
+                pages = filters.remove_tags(pages)
+            return self.metrics.count_stage(pages, "output")
 
         if cfg.with_elevation and cfg.raster_index is not None:
             pages = enrich_with_elevation(

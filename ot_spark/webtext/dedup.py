@@ -58,12 +58,22 @@ def _hash_shingle(s: Column, seed: int, mode: str) -> Column:
 def minhash_signature(
     shingles: Column, k: int = 16, hash_mode: str = "xxhash"
 ) -> Column:
-    """array of k minhash values (long for xxhash, hex-string for md5)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: _hash_shingle(s, i, hash_mode)))
-            for i in range(k)
-        ]
+    """array of k minhash values (long for xxhash, hex-string for md5).
+
+    ONE pass over the shingle list: fold with a k-vector accumulator and
+    ``zip_with(least)`` — the naive per-seed ``array_min(transform(...))``
+    re-evaluates the shingle expression k times (Catalyst's
+    CollapseProject re-inlines it), which measured ~16x slower."""
+    if hash_mode == "xxhash":
+        init = F.array(*[F.lit(2**63 - 1).cast("long")] * k)
+    else:
+        init = F.array(*[F.lit("z" * 16)] * k)  # "z" > any hex digit
+
+    def hashes(s: Column) -> Column:
+        return F.array(*[_hash_shingle(s, i, hash_mode) for i in range(k)])
+
+    return F.aggregate(
+        shingles, init, lambda acc, s: F.zip_with(acc, hashes(s), lambda a, b: F.least(a, b))
     )
 
 
