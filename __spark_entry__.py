@@ -348,7 +348,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Spark 4 forbids CAST(timestamp_ntz AS BIGINT); unix_timestamp() is the
+    # supported epoch-seconds path (session TZ is UTC in ot_spark.session,
+    # matching the oracle's floor(epoch(ts))).
+    es = F.unix_timestamp(F.col("ts"))
+    gap = es - F.lag(es).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = F.sum(new_sess).over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")

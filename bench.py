@@ -53,16 +53,27 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    q_times: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must never zero the whole
+    # round's bench output (round-1 postmortem).  Errors become per-query
+    # entries; the final JSON line always prints.
+    q_times: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            q_times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    pipe_sec, n = run_pipeline(spark, BENCH_PAGES)
-    pages_per_sec = n / pipe_sec
-    q_times["flagship_pipeline"] = round(pipe_sec, 3)
+    try:
+        pipe_sec, n = run_pipeline(spark, BENCH_PAGES)
+        pages_per_sec = n / pipe_sec
+        q_times["flagship_pipeline"] = round(pipe_sec, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["flagship_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        pages_per_sec, n = 0.0, 0
 
     sf = 0.1
     if "sf0.01" in sf_dir:
@@ -70,19 +81,18 @@ def main() -> None:
     elif "sf0.001" in sf_dir:
         sf = 0.001
 
-    print(
-        json.dumps(
-            {
-                "metric": "pages_per_sec_spatial_pipeline",
-                "value": round(pages_per_sec, 1),
-                "unit": "sec",
-                "queries": q_times,
-                "sf": sf,
-                "bench_pages": n,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "pages_per_sec_spatial_pipeline",
+        "value": round(pages_per_sec, 1),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "bench_pages": n,
+        "cpus": cpus,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
