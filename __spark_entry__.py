@@ -283,22 +283,26 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based; rows-only check — DuckDB has
-    no xxhash64)."""
+    """SimHash near-dup pairs in portable md5 mode (60-bit signatures,
+    pigeonhole chunk buckets capped at 200) — fully oracle-checked."""
     from ot_spark.webtext.dedup import simhash_near_pairs, with_simhash
 
     # bounded subset: same-vocabulary word-salad docs are all mutually
     # near in simhash space, so pair counts grow quadratically
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 500")
-    return simhash_near_pairs(with_simhash(docs), max_hamming=4)
+    sigs = with_simhash(docs, hash_mode="md5")
+    return simhash_near_pairs(sigs, max_hamming=4, n_bits=60, max_bucket=200)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (xxhash64; rows-only check)."""
+    """Rolling-hash winnowing fingerprints (portable md5 token hashes —
+    fully oracle-checked; the xxhash64 production mode is pytest-pinned)."""
     from ot_spark.webtext.textstats import with_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_fingerprint(docs).select("doc_id", "fingerprint_min", "content_hash")
+    return with_fingerprint(docs, hash_mode="md5").select(
+        "doc_id", "fingerprint_min", "content_hash"
+    )
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +314,171 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = emb.where("vec_id = 0").first()
     planes = hyperplanes(len(first.embedding), n_planes=4)
     return lsh_topk(emb, list(first.embedding), planes, k=10, multiprobe=2)
+
+
+def q_semi_join_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with BOTH union legs (collect.rs:29-36): ids referenced by
+    accepted links' refs AND by accepted relations' Node-type members."""
+    from ot_spark import semi
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    links = orders.where(F.col("o_totalprice") > 150000).select(
+        F.array(F.col("o_custkey")).alias("refs")
+    )
+    # deterministic relation table: every 3rd order is an accepted relation
+    # whose single member references its customer — node-typed only when
+    # the orderkey is even (way/relation members must NOT collect)
+    rels = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.array(
+            F.struct(
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("node"))
+                .otherwise(F.lit("way"))
+                .alias("type"),
+                F.col("o_custkey").alias("id"),
+                F.lit("member").alias("role"),
+            )
+        ).alias("members")
+    )
+    out = semi.filter_referenced(
+        cust.select("c_custkey"),
+        links,
+        key_col="c_custkey",
+        ref_col="refs",
+        apply_complex_filter=False,
+        relations=rels,
+    )
+    return out.select("c_custkey")
+
+
+def q_split_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way splitting end-to-end (geotiff.rs:527-587): interpolate -> raster
+    elevation -> neighbor-threshold keep -> 50e9+1 id contract via the
+    SCALE id path (range-partitioned offsets, no single-task sort)."""
+    from ot_spark import densify
+
+    pts = pagesview.pages_df(spark, sf_dir).where("doc_id % 2 = 0")
+    nodes = pts.select(
+        F.col("doc_id").cast("string").alias("url"), "lat", "lon"
+    )
+    links = pts.select(
+        F.col("doc_id").alias("link_id"),
+        F.array(
+            F.col("doc_id").cast("string"),
+            (F.col("doc_id") + 2).cast("string"),
+        ).alias("refs"),
+    )
+    new_nodes, _rewritten = densify.split_ways(
+        links,
+        nodes,
+        _raster_index(),
+        res_lon=0.05,
+        res_lat=0.05,
+        threshold=10.0,
+        id_mode="scale",
+    )
+    return new_nodes.select(
+        "node_id",
+        "link_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("i").cast("long").alias("i"),
+        F.round("lat", 6).alias("lat_i"),
+        F.round("lon", 6).alias("lon_i"),
+        "elev",
+    )
+
+
+def q_filter_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 TagValueBasedOsmElementsFilter (filter.rs:19-57): keep rows whose
+    attrs['railway'] matches ^plat."""
+    df = pagesview.pages_df(spark, sf_dir)
+    return filters.filter_by_tag_value(df, "railway", "^plat", keep=True).select(
+        "doc_id"
+    )
+
+
+def q_filter_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 TagKeyBasedOsmElementsFilter (filter.rs:61-96): REMOVE rows having
+    any of [landuse, natural]."""
+    df = pagesview.pages_df(spark, sf_dir)
+    return filters.filter_by_tag_keys(
+        df, ["landuse", "natural"], keep=False
+    ).select("doc_id")
+
+
+def q_remove_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 MetadataRemover (modify.rs:6-31): zero provenance columns, keep
+    everything else untouched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("int").alias("version"),
+        F.col("doc_id").alias("changeset"),
+        (F.col("doc_id") % 97).cast("int").alias("uid"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 7).cast("string")).alias("user"),
+        "source",
+    )
+    return filters.remove_metadata(df)
+
+
+def q_admin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 country counters (area.rs:344-348, 412-417) as one row."""
+    df = pagesview.pages_df(spark, sf_dir).where(_off_boundary_col())
+    idx = _admin_index()
+    out = spatial_join.enrich_with_admin(df, idx)
+    return spatial_join.admin_stats_df(out, idx)
+
+
+def q_elevation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 elevation counters (geotiff.rs:350-357) incl. skip semantics."""
+    from ot_spark.raster import elevation_stats_df, enrich_with_elevation
+
+    df = pagesview.pages_df(spark, sf_dir).withColumn(
+        "skip", F.col("doc_id") % 10 == 0
+    )
+    out = enrich_with_elevation(df, _raster_index(), skip_col="skip")
+    return elevation_stats_df(out, skip_col="skip")
+
+
+def q_pip_admin_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 index persistence round-trip (area.rs:171-223, 253-339): save the
+    grid index, load it back, run the PIP join with the LOADED index —
+    divergence from the geometric oracle pins any save/load corruption."""
+    import shutil
+
+    path = "/tmp/ot_gate/area_index"
+    shutil.rmtree(path, ignore_errors=True)
+    area_index.save_index(_admin_index(), path)
+    loaded = area_index.load_index(path)
+    df = pagesview.pages_df(spark, sf_dir).where(_off_boundary_col())
+    out = spatial_join.enrich_with_admin(df, loaded)
+    return out.select("doc_id", "admin_key")
+
+
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 resumability: interrupted write (half the buckets) + resume must
+    produce each row exactly once; returns per-bucket counts."""
+    import shutil
+
+    from ot_spark import lineage as lin
+
+    base = "/tmp/ot_gate/lineage"
+    shutil.rmtree(base, ignore_errors=True)
+    df = pagesview.pages_df(spark, sf_dir).select(
+        "doc_id", grid_cell(F.col("lat"), F.col("lon"), 1.0).alias("grid_cell")
+    )
+    out_dir, lin_path = f"{base}/out", f"{base}/lineage"
+    half = (
+        lin.with_bucket(df)
+        .where(F.col(lin.BUCKET_COL) < 32)
+        .drop(lin.BUCKET_COL)
+    )
+    lin.write_with_lineage(half, out_dir, lin_path, key_cols=["doc_id"])
+    lin.write_with_lineage(df, out_dir, lin_path, key_cols=["doc_id"])
+    back = spark.read.parquet(out_dir)
+    return back.groupBy(F.col(lin.BUCKET_COL).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
 
 
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_projection": q_tag_projection,
         "grid_cell": q_grid_cell,
         "pip_admin": q_pip_admin,
+        "pip_admin_loaded": q_pip_admin_loaded,
+        "admin_stats": q_admin_stats,
+        "elevation_stats": q_elevation_stats,
         "semi_join": q_semi_join,
+        "semi_join_members": q_semi_join_members,
+        "split_ways": q_split_ways,
+        "filter_by_value": q_filter_by_value,
+        "filter_by_keys": q_filter_by_keys,
+        "remove_metadata": q_remove_metadata,
+        "lineage_resume": q_lineage_resume,
         "agg_lineitem": q_agg_lineitem,
         "minmax_ids": q_minmax_ids,
         "dedup_exact": q_dedup_exact,
@@ -449,10 +627,12 @@ FROM pts
 """
 
 
-def _elevation_oracle_sql() -> str:
+def _elevation_cases(lat: str = "lat", lon: str = "lon") -> tuple[str, str]:
     """Arithmetic re-derivation of routing + affine pixel lookup + NoData:
     the synthetic grids hold value = 100 + px*0.25 + py*0.5 (exact quarters/
-    halves — no FP hazard), fineA has NoData at flat indices % 97 == 0."""
+    halves — no FP hazard), fineA has NoData at flat indices % 97 == 0.
+    Returns (raster_id CASE expr, elevation CASE expr) over the given
+    lat/lon SQL expressions."""
     tiles = [
         ("fineA", 0.0, 0.0, 2.0, 2.0, 0.01, 97),
         ("fineB", 1.0, 1.0, 3.0, 3.0, 0.01, 0),
@@ -462,9 +642,11 @@ def _elevation_oracle_sql() -> str:
     for rid, lo0, la0, lo1, la1, pix, nd in tiles:
         w = round((lo1 - lo0) / pix)
         h = round((la1 - la0) / pix)
-        contains = f"lon >= {lo0} AND lon < {lo1} AND lat >= {la0} AND lat < {la1}"
-        px = f"least(greatest(CAST(floor((lon - {lo0}) / {pix}) AS BIGINT), 0), {w - 1})"
-        py = f"least(greatest(CAST(floor(({la1} - lat) / {pix}) AS BIGINT), 0), {h - 1})"
+        contains = (
+            f"{lon} >= {lo0} AND {lon} < {lo1} AND {lat} >= {la0} AND {lat} < {la1}"
+        )
+        px = f"least(greatest(CAST(floor(({lon} - {lo0}) / {pix}) AS BIGINT), 0), {w - 1})"
+        py = f"least(greatest(CAST(floor(({la1} - {lat}) / {pix}) AS BIGINT), 0), {h - 1})"
         # CASTs force double: DuckDB parses bare float literals as DECIMAL,
         # which would format (and hash) differently from Spark's doubles
         val = (
@@ -475,14 +657,22 @@ def _elevation_oracle_sql() -> str:
             val = f"CASE WHEN (({py}) * {w} + ({px})) % {nd} = 0 THEN NULL ELSE {val} END"
         rid_cases.append(f"WHEN {contains} THEN '{rid}'")
         val_cases.append(f"WHEN {contains} THEN {val}")
+    return (
+        f"CASE {' '.join(rid_cases)} END",
+        f"CASE {' '.join(val_cases)} END",
+    )
+
+
+def _elevation_oracle_sql() -> str:
+    rid_case, val_case = _elevation_cases()
     return f"""
 WITH pts AS (
   SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
   FROM documents
 )
 SELECT doc_id,
-       CASE {' '.join(rid_cases)} END AS raster_id,
-       CASE {' '.join(val_cases)} END AS elev
+       {rid_case} AS raster_id,
+       {val_case} AS elev
 FROM pts
 """
 
@@ -637,6 +827,218 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+_SEMI_MEMBERS_ORACLE_SQL = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 150000)
+   OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)
+"""
+
+
+def _split_ways_oracle_sql() -> str:
+    """Re-derives interpolation, elevation arithmetic, neighbor-threshold
+    keep, and the global (link, pos, i) id contract — independent of every
+    Spark operator in the chain."""
+    _rid, val_case = _elevation_cases("lat_u", "lon_u")
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents WHERE doc_id % 2 = 0
+), segs AS (
+  SELECT a.doc_id AS link_id, a.lat AS fla, a.lon AS flo,
+         b.lat AS tla, b.lon AS tlo,
+         CAST(ceil(greatest(abs(b.lat - a.lat) / 0.05,
+                            abs(b.lon - a.lon) / 0.05, 1.0)) AS BIGINT) AS n
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id + 2
+), inter AS (
+  SELECT link_id, i,
+         fla + i * ((tla - fla) / n) AS lat_u,
+         flo + i * ((tlo - flo) / n) AS lon_u
+  FROM (SELECT *, unnest(generate_series(1, n - 1)) AS i
+        FROM segs WHERE n > 1)
+), ele AS (
+  SELECT link_id, i, lat_u, lon_u,
+         coalesce({val_case}, CAST(0.0 AS DOUBLE)) AS e0
+  FROM inter
+), dev AS (
+  SELECT link_id, i, lat_u, lon_u, e0,
+         coalesce(lag(e0)  OVER w, CAST(0.0 AS DOUBLE)) AS bef,
+         coalesce(lead(e0) OVER w, CAST(0.0 AS DOUBLE)) AS aft
+  FROM ele
+  WINDOW w AS (PARTITION BY link_id ORDER BY i)
+)
+SELECT 50000000000 + row_number() OVER (ORDER BY link_id, i) AS node_id,
+       link_id, CAST(0 AS BIGINT) AS pos, i,
+       round(lat_u, 6) AS lat_i, round(lon_u, 6) AS lon_i,
+       e0 AS elev
+FROM dev
+WHERE abs(e0 - (bef + aft) / 2.0) >= 10.0
+"""
+
+
+_HEX15 = "CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)"
+_TOKHASH_SQL = f"list_transform({{toks}}, t -> {_HEX15})"
+
+
+def _simhash_oracle_sql() -> str:
+    """Definitional 60-bit md5 SimHash + capped pigeonhole buckets
+    (5 chunks x 12 bits, max_hamming=4, max_bucket=200)."""
+    toks = _TOKS_SQL
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKHASH_SQL.format(toks=toks)} AS hs
+  FROM documents WHERE doc_id < 500
+), ne AS (SELECT * FROM t WHERE len(hs) > 0),
+e AS (SELECT doc_id, unnest(hs) AS x FROM ne),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM e, (SELECT unnest(range(60)) AS b) bb
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_id,
+         (simhash >> (c * 12)) & 4095 AS chunk_val
+  FROM sim, (SELECT unnest(range(5)) AS c) cc
+),
+buckets AS (
+  SELECT chunk_id, chunk_val FROM chunks
+  GROUP BY chunk_id, chunk_val HAVING count(*) BETWEEN 2 AND 200
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM chunks x
+  JOIN buckets u ON x.chunk_id = u.chunk_id AND x.chunk_val = u.chunk_val
+  JOIN chunks y ON y.chunk_id = u.chunk_id AND y.chunk_val = u.chunk_val
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 4
+"""
+
+
+def _fingerprint_oracle_sql() -> str:
+    """Same rolling fold: h = md5-15-hex-int % p; window fp =
+    fold((a, x) -> (a*31 + x) % p) seeded 0 via list_prepend."""
+    p = 2147483647
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+h AS (
+  SELECT doc_id, text,
+         list_transform(toks, t -> {_HEX15} % {p}) AS hs
+  FROM t
+),
+f AS (
+  SELECT doc_id, text,
+         list_transform(
+           range(1, greatest(len(hs) - 8, 0) + 2),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), hs[i : i + 7]),
+                  (a, x) -> (a * 31 + x) % {p})) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(list_min(fps) AS BIGINT) AS fingerprint_min,
+       md5(text) AS content_hash
+FROM f
+"""
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """Literal hyperplanes (same seed as the Spark query) + sequential
+    list_dot_product sign bits + Hamming<=2 multiprobe + cosine top-10."""
+    from ot_spark.webtext.simsearch import hyperplanes
+
+    planes = hyperplanes(64, n_planes=4)
+    rows = ", ".join(
+        f"({i}, [{', '.join(f'{x!r}' for x in p.tolist())}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES {rows}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sigs AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.p) > 0
+                       THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e, planes p GROUP BY e.vec_id, v
+),
+qsig AS (
+  SELECT CAST(sum(CASE WHEN list_dot_product(qv, p) > 0
+                       THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS qs
+  FROM q, planes
+)
+SELECT vec_id, round({cos}, 6) AS score
+FROM sigs, qsig, q
+WHERE bit_count(xor(sig, qs)) <= 2
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _admin_stats_oracle_sql() -> str:
+    border = sorted(int(c) for c in _admin_index().border_cells)
+    in_border = (
+        f"cell IN ({', '.join(str(c) for c in border)})" if border else "FALSE"
+    )
+    cell_sql = grid_cell_sql("lat", "lon")
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents WHERE {_OFF_BOUNDARY_SQL}
+), j AS (
+  SELECT CASE
+           WHEN lon > 1.5 AND lon < 2.5 AND lat > 1.5 AND lat < 2.5 THEN 'SQA'
+           WHEN lon > 2.5 AND lon < 4.5 AND lat > 1.5 AND lat < 2.5 THEN 'REC'
+           WHEN lat > 1.5 AND lon > lat + 4.0 AND lon < 9.0 - lat THEN 'TRI'
+           WHEN lon > 7.0 AND lon < 8.0 AND lat > 3.0 AND lat < 4.0 THEN 'EDG'
+         END AS admin_key,
+         {cell_sql} AS cell
+  FROM pts
+)
+SELECT CAST(count(CASE WHEN admin_key IS NOT NULL THEN 1 END) AS BIGINT) AS found,
+       CAST(count(CASE WHEN admin_key IS NULL AND cell IS NOT NULL THEN 1 END) AS BIGINT) AS not_found,
+       CAST(count(CASE WHEN {in_border} THEN 1 END) AS BIGINT) AS intersect_checks,
+       CAST(count(CASE WHEN admin_key LIKE '%,%' THEN 1 END) AS BIGINT) AS border_nodes
+FROM j
+"""
+
+
+def _elevation_stats_oracle_sql() -> str:
+    _rid, val_case = _elevation_cases()
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon,
+         (doc_id % 10 = 0) AS skip
+  FROM documents
+), e AS (SELECT skip, {val_case} AS elev FROM pts)
+SELECT CAST(count(CASE WHEN NOT skip AND elev IS NOT NULL THEN 1 END) AS BIGINT) AS found,
+       CAST(count(CASE WHEN NOT skip AND elev IS NULL THEN 1 END) AS BIGINT) AS not_found,
+       CAST(count(CASE WHEN skip THEN 1 END) AS BIGINT) AS skipped
+FROM e
+"""
+
+
+def _lineage_resume_oracle_sql() -> str:
+    cell_sql = grid_cell_sql(pagesview.LAT_SQL, pagesview.LON_SQL)
+    return f"""
+SELECT coalesce(CAST({cell_sql} % 64 AS INTEGER), -1) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "topn_per_group": _TOPN_ORACLE_SQL,
@@ -664,6 +1066,30 @@ def oracle_sql() -> dict[str, str]:
             + " AS cell, CAST(count(*) AS BIGINT) AS n_pages FROM documents GROUP BY 1"
         ),
         "pip_admin": _PIP_GEOMETRIC_SQL,
+        "pip_admin_loaded": _PIP_GEOMETRIC_SQL,
+        "admin_stats": _admin_stats_oracle_sql(),
+        "elevation_stats": _elevation_stats_oracle_sql(),
+        "semi_join_members": _SEMI_MEMBERS_ORACLE_SQL,
+        "split_ways": _split_ways_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
+        "fingerprint": _fingerprint_oracle_sql(),
+        "lsh_ann": _lsh_ann_oracle_sql(),
+        "filter_by_value": (
+            "SELECT doc_id FROM documents WHERE "
+            + pagesview.attr_value_regex_sql("railway", "^plat")
+        ),
+        "filter_by_keys": (
+            "SELECT doc_id FROM documents WHERE NOT ("
+            + pagesview.attr_present_sql("landuse")
+            + " OR "
+            + pagesview.attr_present_sql("natural")
+            + ")"
+        ),
+        "remove_metadata": (
+            "SELECT doc_id, 0 AS version, 0 AS changeset, 0 AS uid, "
+            "'' AS \"user\", source FROM documents"
+        ),
+        "lineage_resume": _lineage_resume_oracle_sql(),
         "semi_join": (
             "SELECT c_custkey FROM customer WHERE EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "

@@ -117,6 +117,63 @@ def interpolate(
     )
 
 
+def assign_split_ids(
+    kept: DataFrame,
+    mode: str = "contract",
+    order_cols: tuple[str, ...] = ("link_id", "pos", "i"),
+    offset: int = SPLIT_ID_OFFSET,
+    out_col: str = "node_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign the reference's ``HIGHEST_NODE_ID + 1, +2, ...`` split-node ids
+    (src/handler.rs:22, geotiff.rs:398-402; integration test pins 50000000001).
+
+    mode='contract': row_number over one global window — exact, simple,
+    single-task sort; the parity/test path.
+
+    mode='scale': SAME ids without any single-task stage —
+    ``repartitionByRange(order_cols)`` gives globally range-ordered
+    partitions (parallel sort), a per-partition count pass yields cumulative
+    offsets (one tiny collect: #partitions rows), and row_number runs inside
+    each partition only.  The ranged frame is cached so the count pass and
+    the final pass see identical partitioning (range sampling is otherwise
+    re-evaluated per action)."""
+    cols = [F.col(c) for c in order_cols]
+    if mode == "contract":
+        w = Window.orderBy(*cols)
+        return kept.withColumn(
+            out_col, F.row_number().over(w) + F.lit(offset)
+        )
+    if mode != "scale":
+        raise ValueError(f"unknown id mode: {mode!r}")
+    spark = kept.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = kept.repartitionByRange(parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            out_col,
+            F.row_number().over(w) + F.col("_off") + F.lit(offset),
+        )
+        .drop("_pid")
+        .drop("_off")
+    )
+    return out
+
+
 def split_ways(
     links: DataFrame,
     nodes: DataFrame,
@@ -127,6 +184,7 @@ def split_ways(
     link_key: str = "link_id",
     ref_col: str = "refs",
     node_key: str = "url",
+    id_mode: str = "contract",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (new_nodes, rewritten_links).
 
@@ -155,10 +213,11 @@ def split_ways(
         F.abs(F.col("elev0") - (before + after) / F.lit(2.0)) >= F.lit(threshold),
     ).where("keep")
 
-    idw = Window.orderBy(link_key, "pos", "i")
-    new_nodes = kept.select(
-        (F.row_number().over(idw) + F.lit(SPLIT_ID_OFFSET)).alias("node_id"),
-        link_key, "pos", "i", "lat", "lon",
+    with_ids = assign_split_ids(
+        kept, mode=id_mode, order_cols=(link_key, "pos", "i")
+    )
+    new_nodes = with_ids.select(
+        "node_id", link_key, "pos", "i", "lat", "lon",
         F.col("elev0").alias("elev"),
     ).withColumn("url", F.format_string("split:%d", F.col("node_id")))
 

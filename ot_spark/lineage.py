@@ -50,20 +50,39 @@ def _lineage_exists(spark: SparkSession, lineage_path: str) -> bool:
     return os.path.exists(lineage_path)
 
 
-def _clean_incomplete_buckets(out_dir: str, done: DataFrame | None) -> None:
-    import shutil
+PROPS_SUBDIR = "_properties"  # leading underscore: Spark readers skip it
 
-    if not os.path.isdir(out_dir):
-        return
-    done_set = (
-        {r[BUCKET_COL] for r in done.collect()} if done is not None else set()
-    )
-    for name in os.listdir(out_dir):
-        if not name.startswith(f"{BUCKET_COL}="):
-            continue
-        bucket = int(name.split("=", 1)[1])
-        if bucket not in done_set:
-            shutil.rmtree(os.path.join(out_dir, name))
+
+def write_table_properties(spark: SparkSession, out_dir: str, props: dict) -> None:
+    """Persist table properties (the osmosis_replication_timestamp analog,
+    /root/reference/src/utils.rs:4-8) as a tiny parquet sidecar under the
+    output dir — scheme-agnostic (no driver-local fs ops), invisible to
+    readers of the data dir itself."""
+    rows = [(str(k), str(v)) for k, v in sorted(props.items())]
+    spark.createDataFrame(rows or [("", "")], "key string, value string").where(
+        F.col("key") != ""
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{PROPS_SUBDIR}")
+
+
+def read_table_properties(spark: SparkSession, in_dir: str) -> dict:
+    try:
+        rows = spark.read.parquet(f"{in_dir}/{PROPS_SUBDIR}").collect()
+    except Exception:  # noqa: BLE001 — absent sidecar == no properties
+        return {}
+    return {r["key"]: r["value"] for r in rows}
+
+
+def propagate_table_properties(
+    spark: SparkSession, in_dir: str, out_dir: str, extra: dict | None = None
+) -> dict:
+    """input -> output property carry-through, mirroring the reference's
+    end-to-end replication-timestamp preservation
+    (tests/integration_test.rs:267-291)."""
+    props = read_table_properties(spark, in_dir)
+    props.update(extra or {})
+    if props:
+        write_table_properties(spark, out_dir, props)
+    return props
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
@@ -80,9 +99,14 @@ def write_with_lineage(
     cell_col: str = "grid_cell",
     n_buckets: int = 64,
     run_id: str | None = None,
+    table_props: dict | None = None,
 ) -> dict:
     """Write df partitioned by cell bucket with lineage; skips buckets the
-    lineage table already records. Returns summary counters."""
+    lineage table already records. Returns summary counters.
+
+    ``table_props``: properties persisted alongside the output (replication
+    timestamp analog) — survive resume because the sidecar write is
+    idempotent overwrite."""
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
     bucketed = with_bucket(df, cell_col, n_buckets)
@@ -106,14 +130,18 @@ def write_with_lineage(
         .withColumn("ts", F.lit(int(time.time() * 1000)))
     )
 
-    # idempotency: bucket dirs on disk that lineage does NOT record are
-    # leftovers of a crashed run — remove before re-writing them (the
-    # Iceberg equivalent is snapshot rollback; plain parquet needs the fs op)
-    _clean_incomplete_buckets(out_dir, done)
-    bucketed.write.partitionBy(BUCKET_COL).mode("append").parquet(out_dir)
+    # idempotency: DYNAMIC partition overwrite — only the buckets present in
+    # this (anti-joined) frame are replaced, so a half-written bucket from a
+    # crashed run is rewritten exactly once and completed buckets are never
+    # touched.  Works on any filesystem scheme (no driver-local fs ops).
+    bucketed.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(out_dir)
     written = lineage.count()
     if written:
         lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+    if table_props:
+        write_table_properties(spark, out_dir, table_props)
     return {
         "run_id": run_id,
         "buckets_written": written,

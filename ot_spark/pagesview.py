@@ -117,6 +117,19 @@ def attr_kv_sql(key: str, value: str) -> str:
     return "(" + " OR ".join(conds) + ")" if conds else "FALSE"
 
 
+def attr_value_regex_sql(key: str, value_regex: str) -> str:
+    """SQL condition: attrs[key] exists and its value matches regex —
+    classification done at generation time with Python re (same substring
+    semantics as rlike)."""
+    rx = re.compile(value_regex)
+    conds = [
+        _rule_cond(m, r)
+        for (k, v, m, r) in ATTR_RULES
+        if k == key and rx.search(v)
+    ]
+    return "(" + " OR ".join(conds) + ")" if conds else "FALSE"
+
+
 def complex_filter_sql() -> str:
     """Boolean-arithmetic rendering of ComplexElementsFilter
     (/root/reference/src/handler/filter.rs:231-236) over the rule table.

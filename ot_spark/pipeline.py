@@ -128,7 +128,47 @@ class Pipeline:
                 n_buckets=cfg.n_buckets,
                 run_id=cfg.run_id,
             )
+            lineage.propagate_table_properties(
+                spark, cfg.pages_path, cfg.out_dir, cfg.extra.get("table_props")
+            )
         else:
             info = {"rows": out.count()}
         info["metrics"] = self.metrics.get()
         return info
+
+
+TYPE_RANK = {"node": 0, "way": 1, "relation": 2}
+
+
+def splitting_sink(
+    frames: dict[str, DataFrame],
+    out_dir: str,
+    order_key: str = "url",
+) -> None:
+    """S3 SplittingOutputHandler analog (/root/reference/src/output.rs:59-129).
+
+    The reference writes nodes and ways/relations to two files because way
+    splitting creates nodes AFTER ways started streaming, then concatenates
+    on close to restore global node -> way -> relation order.  Declaratively
+    that is: union everything (late split nodes included) and range-sort the
+    write by (type_rank, key) — repartitionByRange + sortWithinPartitions
+    under the hood, so files come out globally ordered with NO single-task
+    stage."""
+    common: list[str] | None = None
+    for df in frames.values():
+        cols = [c for c in df.columns]
+        common = cols if common is None else [c for c in common if c in cols]
+    common = common or [order_key]
+    parts = []
+    for etype, df in frames.items():
+        parts.append(
+            df.select(*common).withColumn(
+                "type_rank", F.lit(TYPE_RANK.get(etype, 99))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.orderBy("type_rank", order_key).write.mode("overwrite").parquet(out_dir)
+
+

@@ -87,9 +87,16 @@ class RasterIndex:
         }
 
 
+ROUTE_JOIN_THRESHOLD = 64  # above this, CASE-chain depth hurts codegen
+
+
 def route_col(index: RasterIndex, lat: Column, lon: Column) -> Column:
     """Finest-containing-tile raster_id as a literal CASE chain
-    ([min,max) bbox semantics so pixel indices stay in range)."""
+    ([min,max) bbox semantics so pixel indices stay in range).
+
+    Only used for small indexes: a planet SRTM glob is hundreds of tiffs
+    (geotiff.rs:159-209) and a nested CASE that deep blows past codegen
+    limits — see :func:`route_via_cell_join` for the scale path."""
     expr = F.lit(None).cast("string")
     for t in reversed(index.routing()):
         contains = (
@@ -100,6 +107,64 @@ def route_col(index: RasterIndex, lat: Column, lon: Column) -> Column:
         )
         expr = F.when(contains, F.lit(t["raster_id"])).otherwise(expr)
     return expr
+
+
+def route_via_cell_join(
+    df: DataFrame,
+    index: RasterIndex,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_col: str = "raster_id",
+    route_tile_size: float = 1.0,
+) -> DataFrame:
+    """Scale routing (SURVEY §2.1/S7, geotiff.rs:281-288): broadcast a
+    coarse-cell -> candidate-tile-bbox table (candidates pre-sorted finest
+    first, the R-tree's sort), equi-join on the cell, then pick the first
+    CONTAINING candidate with pure array algebra — constant expression
+    depth, zero shuffle, any tile count."""
+    from .cells import grid_cell, grid_cell_py, num_tiles_lon
+
+    by_cell: dict[int, list[tuple]] = {}
+    for t in index.routing():  # already finest-first
+        eps = route_tile_size * 1e-9
+        la0 = max(t["min_lat"], -90.0)
+        la1 = min(t["max_lat"] - eps, 90.0 - eps)
+        lo0, lo1 = t["min_lon"], t["max_lon"] - eps
+        cand = (
+            float(t["min_lon"]), float(t["max_lon"]),
+            float(t["min_lat"]), float(t["max_lat"]),
+            t["raster_id"],
+        )
+        c00 = grid_cell_py(la0, lo0, route_tile_size)
+        c11 = grid_cell_py(la1, lo1, route_tile_size)
+        if c00 is None or c11 is None:
+            continue
+        ntl = num_tiles_lon(route_tile_size)
+        for row in range(c00 // ntl, c11 // ntl + 1):
+            for col in range(c00 % ntl, c11 % ntl + 1):
+                by_cell.setdefault(row * ntl + col, []).append(cand)
+
+    spark = df.sparkSession
+    cell_df = spark.createDataFrame(
+        list(by_cell.items()) or [(None, [])],
+        "__route_cell long, __cands array<struct<"
+        "min_lon:double,max_lon:double,min_lat:double,max_lat:double,"
+        "raster_id:string>>",
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    routed = df.withColumn(
+        "__route_cell", grid_cell(lat, lon, route_tile_size)
+    ).join(F.broadcast(cell_df), "__route_cell", "left")
+    containing = F.filter(
+        F.col("__cands"),
+        lambda c: (lon >= c["min_lon"]) & (lon < c["max_lon"])
+        & (lat >= c["min_lat"]) & (lat < c["max_lat"]),
+    )
+    return (
+        # F.get is NULL-safe on empty arrays (cell mapped, no bbox contains)
+        routed.withColumn(out_col, F.get(containing, 0)["raster_id"])
+        .drop("__route_cell", "__cands")
+    )
 
 
 def enrich_with_elevation(
@@ -141,7 +206,12 @@ def enrich_with_elevation(
                 out[m] = vals
             yield pd.Series(out)
 
-    routed = df.withColumn("raster_id", route_col(index, F.col(lat_col), F.col(lon_col)))
+    if len(index.tiles) <= ROUTE_JOIN_THRESHOLD:
+        routed = df.withColumn(
+            "raster_id", route_col(index, F.col(lat_col), F.col(lon_col))
+        )
+    else:
+        routed = route_via_cell_join(df, index, lat_col, lon_col, "raster_id")
     rid_for_lookup = F.col("raster_id")
     if skip_col is not None:
         rid_for_lookup = F.when(~F.coalesce(F.col(skip_col), F.lit(False)), rid_for_lookup)
@@ -149,23 +219,34 @@ def enrich_with_elevation(
         rid_for_lookup = F.when(F.col(out_col).isNull(), rid_for_lookup)
 
     looked = F.round(lookup(rid_for_lookup, F.col(lon_col), F.col(lat_col)), 2)
-    if keep_original and out_col in df.columns:
-        looked = F.coalesce(F.col(out_col), looked)
+    # skip masks only the LOOKED-UP value; a pre-existing elevation on a
+    # skip-flagged row must survive (geotiff.rs:425-432 skips the lookup,
+    # never clears the tag)
     if skip_col is not None:
         looked = F.when(~F.coalesce(F.col(skip_col), F.lit(False)), looked)
+    if keep_original and out_col in df.columns:
+        looked = F.coalesce(F.col(out_col), looked)
     return routed.withColumn(out_col, looked)
+
+
+def elevation_stats_df(
+    df: DataFrame, out_col: str = "elev", skip_col: str | None = None
+) -> DataFrame:
+    """found / not-found / skipped counters (geotiff.rs:350-357) as a
+    one-row frame."""
+    skip = (
+        F.coalesce(F.col(skip_col), F.lit(False)) if skip_col else F.lit(False)
+    )
+    return df.agg(
+        F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
+        F.count(F.when(F.col(out_col).isNull() & ~skip, 1)).alias("not_found"),
+        F.count(F.when(skip, 1)).alias("skipped"),
+    )
 
 
 def elevation_stats(df: DataFrame, out_col: str = "elev", skip_col: str | None = None) -> dict:
     """found / not-found / skipped counters (geotiff.rs:350-357)."""
-    skip = (
-        F.coalesce(F.col(skip_col), F.lit(False)) if skip_col else F.lit(False)
-    )
-    row = df.agg(
-        F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
-        F.count(F.when(F.col(out_col).isNull() & ~skip, 1)).alias("not_found"),
-        F.count(F.when(skip, 1)).alias("skipped"),
-    ).first()
+    row = elevation_stats_df(df, out_col, skip_col).first()
     return {
         "elevation_found_node_count": row.found,
         "elevation_not_found_node_count": row.not_found,

@@ -376,27 +376,42 @@ def knn_nearest_raster(
 
     @F.pandas_udf(StringType())
     def nearest(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        # pages cluster heavily into hexes: walk rings once per DISTINCT
+        # (q, r) hex in the batch (np.unique), then gather per row — the
+        # same distinct-key trick spatial_join uses per cell
         cov = bc.value
+        hex_cache: dict[tuple[int, int], str | None] = {}
+
+        def resolve(qq: int, rr: int) -> str | None:
+            got = hex_cache.get((qq, rr), "__miss__")
+            if got != "__miss__":
+                return got
+            res_: str | None = None
+            hit = None
+            for k in range(max_k + 1):
+                for cq, cr in k_ring(qq, rr, k):
+                    g = cov.get((cq, cr))
+                    if g is not None and (hit is None or g[0] < hit[0]):
+                        hit = g
+                if hit is not None:
+                    res_ = f"{k}|{hit[1]}"
+                    break
+            hex_cache[(qq, rr)] = res_
+            return res_
+
         for lat_s, lon_s in it:
             lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            qs, rs = _axial_from_xy(lon_np, lat_np, size)
-            out = []
-            for la, qq, rr in zip(lat_np.tolist(), qs.tolist(), rs.tolist()):
-                if la != la:  # nan
-                    out.append(None)
-                    continue
-                hit = None
-                for k in range(max_k + 1):
-                    for cq, cr in k_ring(qq, rr, k):
-                        got = cov.get((cq, cr))
-                        if got is not None and (hit is None or got[0] < hit[0]):
-                            hit = got
-                    if hit is not None:
-                        out.append(f"{k}|{hit[1]}")
-                        break
-                else:
-                    out.append(None)
+            ok = ~np.isnan(lat_np) & ~np.isnan(lon_np)
+            out = np.full(len(lat_np), None, dtype=object)
+            if ok.any():
+                qs, rs = _axial_from_xy(lon_np[ok], lat_np[ok], size)
+                pairs = np.stack([qs, rs], axis=1)
+                uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
+                resolved = np.asarray(
+                    [resolve(int(q), int(r)) for q, r in uniq], dtype=object
+                )
+                out[np.flatnonzero(ok)] = resolved[inverse]
             yield pd.Series(out, dtype=object)
 
     tmp = df.withColumn("__knn", nearest(F.col(lat_col), F.col(lon_col)))

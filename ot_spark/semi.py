@@ -25,9 +25,33 @@ from .filters import complex_filter
 SKIP_ELEVATION_KEYS = ["bridge", "tunnel", "cutting", "indoor"]
 
 
-def referenced_ids(links: DataFrame, ref_col: str = "refs", out_name: str = "url") -> DataFrame:
-    """explode(refs) -> distinct — the accept-set build side."""
-    return links.select(F.explode(ref_col).alias(out_name)).distinct()
+def referenced_ids(
+    links: DataFrame,
+    ref_col: str = "refs",
+    out_name: str = "url",
+    relations: DataFrame | None = None,
+    member_col: str = "members",
+) -> DataFrame:
+    """explode(refs) [∪ relation node-members] -> distinct — the accept-set
+    build side.
+
+    The reference collects ids from BOTH accepted ways' refs AND accepted
+    relations' Node-type members (collect.rs:29-36: ``Member::Node{id} =>
+    set bit``); pass ``relations`` (with an ``array<struct<type,id,role>>``
+    member column) to get the second union leg."""
+    ids = links.select(F.explode(ref_col).alias(out_name))
+    if relations is not None:
+        ids = ids.unionByName(member_node_ids(relations, member_col, out_name))
+    return ids.distinct()
+
+
+def member_node_ids(
+    relations: DataFrame, member_col: str = "members", out_name: str = "url"
+) -> DataFrame:
+    """Node-type member ids of relations (collect.rs:29-36 — only
+    ``Member::Node`` sets the node bitmap; Way/Relation members don't)."""
+    m = relations.select(F.explode(member_col).alias("m"))
+    return m.where(F.col("m.type") == "node").select(F.col("m.id").alias(out_name))
 
 
 def filter_referenced(
@@ -36,11 +60,14 @@ def filter_referenced(
     key_col: str = "url",
     ref_col: str = "refs",
     apply_complex_filter: bool = True,
+    relations: DataFrame | None = None,
+    member_col: str = "members",
 ) -> DataFrame:
     """Keep only pages referenced by (accepted) links — the full pass-1 +
-    IdFilter contract in one plan."""
+    IdFilter contract in one plan (incl. the relation-member union leg when
+    ``relations`` is given)."""
     accepted = complex_filter(links) if apply_complex_filter else links
-    refs = referenced_ids(accepted, ref_col, key_col)
+    refs = referenced_ids(accepted, ref_col, key_col, relations, member_col)
     return pages.join(refs, key_col, "left_semi")
 
 

@@ -104,12 +104,24 @@ def enrich_with_admin(
 
         # pass NULL cell for non-border rows so the UDF's per-cell loop
         # skips them entirely (when() does not short-circuit UDF evaluation)
-        is_border = F.col(cell_col).isin([int(c) for c in border_cells])
+        if len(border_cells) <= 1000:
+            is_border = F.col(cell_col).isin([int(c) for c in border_cells])
+        else:
+            # planet-scale border sets would put ~10^5 literals in the plan;
+            # a broadcast semi-membership join keeps the plan constant-size
+            border_df = spark.createDataFrame(
+                [(int(c), True) for c in border_cells],
+                f"{cell_col} long, __is_border boolean",
+            )
+            df = df.join(F.broadcast(border_df), cell_col, "left")
+            is_border = F.coalesce(F.col("__is_border"), F.lit(False))
         masked_cell = F.when(is_border, F.col(cell_col))
         df = df.withColumn(
             "__border_key",
             refine(masked_cell, F.col(lon_col), F.col(lat_col)),
         )
+        if len(border_cells) > 1000:
+            df = df.drop("__is_border")
     else:
         df = df.withColumn("__border_key", F.lit(None).cast("string"))
 
@@ -124,16 +136,34 @@ def key_of(index: AreaIndex, area_id: int) -> str:
 
 def admin_stats(df: DataFrame, index: AreaIndex, out_col: str = "admin_key", cell_col: str = "grid_cell") -> dict:
     """The reference's country counters (area.rs:344-348, 412-417) in one agg."""
-    border_cells = [int(c) for c in index.border_cells]
-    row = df.agg(
-        F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
-        F.count(F.when(F.col(out_col).isNull(), 1)).alias("not_found"),
-        F.count(F.when(F.col(cell_col).isin(border_cells), 1)).alias("intersect_checks"),
-        F.count(F.when(F.col(out_col).contains(","), 1)).alias("border_nodes"),
-    ).first()
     return {
-        "country_found_node_count": row.found,
-        "country_not_found_node_count": row.not_found,
-        "country_intersect_checks_count": row.intersect_checks,
-        "country_border_nodes_count": row.border_nodes,
+        f"country_{k}_node_count" if k in ("found", "not_found") else f"country_{k}_count": v
+        for k, v in admin_stats_df(df, index, out_col, cell_col)
+        .first()
+        .asDict()
+        .items()
     }
+
+
+def admin_stats_df(
+    df: DataFrame,
+    index: AreaIndex,
+    out_col: str = "admin_key",
+    cell_col: str = "grid_cell",
+) -> DataFrame:
+    """One-row stats frame (the reference's counters as an aggregation).
+
+    not_found counts only probed rows: the reference early-returns on pole
+    latitudes before touching any counter (area.rs:368-370), and our
+    grid_cell is NULL exactly there (and for NULL coords)."""
+    border_cells = [int(c) for c in index.border_cells]
+    return df.agg(
+        F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
+        F.count(
+            F.when(F.col(out_col).isNull() & F.col(cell_col).isNotNull(), 1)
+        ).alias("not_found"),
+        F.count(F.when(F.col(cell_col).isin(border_cells), 1)).alias(
+            "intersect_checks"
+        ),
+        F.count(F.when(F.col(out_col).contains(","), 1)).alias("border_nodes"),
+    )

@@ -176,9 +176,12 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # threshold on the UNROUNDED ratio (round only for output) — rounding
+    # first would admit ratios in [threshold-5e-7, threshold) that an exact
+    # re-derivation rejects
     return (
-        joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        joined.where(jac >= threshold)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -210,12 +213,30 @@ def minhash_dedup(
 
 # ------------------------------------------------------------------ simhash
 
+SIMHASH_BITS = {"xxhash": 64, "md5": 60}
+
+
+def _token_hash(t: Column, mode: str) -> Column:
+    if mode == "xxhash":
+        return F.xxhash64(t)
+    # portable 60-bit hash: first 15 md5 hex chars as an integer — DuckDB
+    # re-derives it with CAST('0x'||substr(md5(t),1,15) AS BIGINT)
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """64-bit SimHash: token hashes JVM-side (xxhash64), bit tally in a
-    vectorized Arrow UDF (numpy popcount-style accumulation)."""
-    hashes = F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+    """SimHash (64-bit xxhash mode / 60-bit portable md5 mode): token hashes
+    JVM-side, bit tally in a vectorized Arrow UDF (numpy popcount-style
+    accumulation).  Documents with NO tokens get a NULL simhash — otherwise
+    every empty/boilerplate page hashes to 0 and forms one quadratic
+    near-dup bucket."""
+    toks = tokens_col(F.col(text_col))
+    hashes = F.transform(toks, lambda t: _token_hash(t, hash_mode))
 
     @F.pandas_udf(LongType())
     def tally(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -226,24 +247,39 @@ def with_simhash(
                     continue
                 h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
                 bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 tally
+                # +1/-1 tally; MUST leave uint64 first — unsigned 2*ones-n
+                # wraps past zero for minority bits and sets every bit
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
                 sim = np.uint64(0)
                 for b in np.nonzero(votes > 0)[0]:
                     sim |= np.uint64(1) << np.uint64(b)
                 out[row_i] = sim.astype(np.int64)
             yield pd.Series(out)
 
-    return df.withColumn(out_col, tally(hashes))
+    return df.withColumn(
+        out_col, F.when(F.size(toks) > 0, tally(hashes))
+    )
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance <= k using the pigeonhole trick:
-    split 64 bits into (k+1) chunks; equal pairs must share one exact chunk
-    -> chunk-equality join (shuffle on tiny keys), verify with bit_count."""
+    split ``n_bits`` into (k+1) chunks; near pairs must share one exact
+    chunk -> bucketed groupBy(chunk_id, chunk_val), pairs generated within
+    buckets only, verified with bit_count.
+
+    Like MinHash-LSH, buckets above ``max_bucket`` are dropped (boilerplate
+    clusters that would otherwise go quadratic — e.g. all-identical or
+    near-empty pages sharing every chunk); NULL simhashes (token-less docs)
+    never pair."""
     chunks = max_hamming + 1
-    width = 64 // chunks
+    width = n_bits // chunks
     chunk_structs = F.array(
         *[
             F.struct(
@@ -255,17 +291,39 @@ def simhash_near_pairs(
             for c in range(chunks)
         ]
     )
-    e = df.select(id_col, sim_col, F.explode(chunk_structs).alias("c")).select(
-        id_col, sim_col, "c.chunk_id", "c.chunk_val"
+    e = (
+        df.where(F.col(sim_col).isNotNull())
+        .select(id_col, sim_col, F.explode(chunk_structs).alias("c"))
+        .select(id_col, sim_col, "c.chunk_id", "c.chunk_val")
     )
-    a = e.withColumnsRenamed({id_col: "a", sim_col: "sim_a"})
-    b = e.withColumnsRenamed({id_col: "b", sim_col: "sim_b"})
-    pairs = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sim_a", "sim_b")
-        .distinct()
+    grouped = (
+        e.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sim"))
+            ).alias("ids")
+        )
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    ids_sorted = F.array_sort("ids")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids_sorted,
+                    lambda a, i: F.transform(
+                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                        lambda bb: F.struct(
+                            a["id"].alias("a"),
+                            bb["id"].alias("b"),
+                            a["sim"].alias("sim_a"),
+                            bb["sim"].alias("sim_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b", "p.sim_a", "p.sim_b").distinct()
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("a", "b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming

@@ -81,8 +81,17 @@ def with_lsh_bucket(
 
 
 def _sig_of(query_vec: list[float], planes: np.ndarray) -> int:
-    dots = planes @ np.asarray(query_vec, dtype=np.float64)
-    return int(sum(1 << i for i, d in enumerate(dots) if d > 0))
+    """Sequential left-fold dot products (NOT BLAS): bit-for-bit identical
+    to the JVM fold in lsh_signature_col and to DuckDB's list_dot_product,
+    so the same query vector lands in the same bucket in all three."""
+    sig = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_vec, p.tolist()):
+            acc += float(x) * y
+        if acc > 0:
+            sig |= 1 << i
+    return sig
 
 
 def lsh_topk(

@@ -88,16 +88,25 @@ FP_PRIME = 2147483647  # 2^31 - 1: keeps the rolling product ANSI-overflow-safe
 
 
 def rolling_fingerprints(
-    tokens: Column, window: int = 8
+    tokens: Column, window: int = 8, hash_mode: str = "xxhash"
 ) -> Column:
     """Rabin-Karp-style window fingerprints: polynomial rolling hash of each
-    ``window``-token span, all JVM arithmetic, mod 2^31-1."""
+    ``window``-token span, all JVM arithmetic, mod 2^31-1.
+
+    ``hash_mode='md5'`` swaps the per-token xxhash64 for the first 15 md5
+    hex chars as an integer — identical fold, DuckDB-reproducible
+    (list_reduce over the same values)."""
+    from .dedup import _token_hash
+
     def window_hash(i: Column) -> Column:
         span = F.slice(tokens, i + 1, window)
         return F.aggregate(
             span,
             F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(FP_PRIME)), F.lit(FP_PRIME)),
+            lambda acc, t: F.pmod(
+                acc * 31 + F.pmod(_token_hash(t, hash_mode), F.lit(FP_PRIME)),
+                F.lit(FP_PRIME),
+            ),
         )
 
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - window, F.lit(0)))
@@ -105,12 +114,12 @@ def rolling_fingerprints(
 
 
 def with_fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 8
+    df: DataFrame, text_col: str = "text", window: int = 8, hash_mode: str = "xxhash"
 ) -> DataFrame:
     """Winnowing-lite document fingerprint: min window hash (stable under
     local edits) + full-content hash."""
     toks = tokens_col(F.col(text_col))
-    fps = rolling_fingerprints(toks, window)
+    fps = rolling_fingerprints(toks, window, hash_mode)
     return df.withColumns(
         {
             "fingerprint_min": F.array_min(fps).cast("long"),
