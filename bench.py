@@ -19,12 +19,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
+FLAGSHIP_WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "6"))
+FLAGSHIP_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
-def run_pipeline(spark, n_pages: int) -> tuple[float, int]:
+def run_pipeline(spark, n_pages: int) -> tuple[float, int, list[float]]:
     """Flagship: parse -> filter -> project -> tile (grid+S2+h3ish) ->
-    broadcast PIP join -> raster elevation -> noop sink."""
+    broadcast PIP join -> raster elevation -> noop sink.
+
+    Measured steady-state: the identical action needs ~8 invocations to
+    reach C2 JIT on this host and single timings swing 3x with noisy
+    neighbors (BENCH/BASELINE.md protocol) — warm up, then min-of-K."""
     import __spark_entry__ as entrymod
     from ot_spark import filters, parse
     from ot_spark.benchdata import pages_range_df
@@ -37,10 +43,14 @@ def run_pipeline(spark, n_pages: int) -> tuple[float, int]:
     df = filters.complex_filter(df)
     df = filters.remove_tags(df)
     out = spatial_enrich(df, idx, ridx)
-    t0 = time.time()
-    out.write.format("noop").mode("overwrite").save()
-    elapsed = time.time() - t0
-    return elapsed, n_pages
+    for _ in range(FLAGSHIP_WARMUP):
+        out.write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(FLAGSHIP_RUNS):
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return min(times), n_pages, [round(t, 3) for t in times]
 
 
 def main() -> None:
@@ -67,8 +77,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    flagship_all: list[float] = []
     try:
-        pipe_sec, n = run_pipeline(spark, BENCH_PAGES)
+        pipe_sec, n, flagship_all = run_pipeline(spark, BENCH_PAGES)
         pages_per_sec = n / pipe_sec
         q_times["flagship_pipeline"] = round(pipe_sec, 3)
     except Exception as exc:  # noqa: BLE001
@@ -89,6 +100,7 @@ def main() -> None:
         "sf": sf,
         "bench_pages": n,
         "cpus": cpus,
+        "flagship_runs_sec": flagship_all,
     }
     if errors:
         payload["errors"] = errors
