@@ -72,17 +72,12 @@ class RasterIndex:
         return [{k: v for k, v in t.items() if k != "grid"} for t in self.tiles]
 
     def grids(self) -> dict[str, dict]:
+        keys = (
+            "min_lon", "max_lat", "pixel_w", "pixel_h", "width", "height",
+            "nodata", "epsg", "min_x", "max_y",
+        )
         return {
-            t["raster_id"]: {
-                "grid": t["grid"],
-                "min_lon": t["min_lon"],
-                "max_lat": t["max_lat"],
-                "pixel_w": t["pixel_w"],
-                "pixel_h": t["pixel_h"],
-                "width": t["width"],
-                "height": t["height"],
-                "nodata": t["nodata"],
-            }
+            t["raster_id"]: {"grid": t["grid"], **{k: t[k] for k in keys if k in t}}
             for t in self.tiles
         }
 
@@ -197,8 +192,18 @@ def enrich_with_elevation(
                 if g is None:
                     continue
                 m = rids == rid
-                px = np.floor((lon_np[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
-                py = np.floor((g["max_lat"] - lat_np[m]) / g["pixel_h"]).astype(np.int64)
+                epsg = g.get("epsg", 4326)
+                if epsg != 4326:
+                    # projected tiff: WGS84 probe -> tiff CRS before the
+                    # affine (geotiff.rs:77-93); pixel origin is in CRS units
+                    from .srs import wgs84_to_epsg
+
+                    xs, ys = wgs84_to_epsg(lat_np[m], lon_np[m], epsg)
+                    px = np.floor((xs - g["min_x"]) / g["pixel_w"]).astype(np.int64)
+                    py = np.floor((g["max_y"] - ys) / g["pixel_h"]).astype(np.int64)
+                else:
+                    px = np.floor((lon_np[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
+                    py = np.floor((g["max_lat"] - lat_np[m]) / g["pixel_h"]).astype(np.int64)
                 px = np.clip(px, 0, g["width"] - 1)
                 py = np.clip(py, 0, g["height"] - 1)
                 vals = g["grid"][py, px]

@@ -1,0 +1,248 @@
+"""CRS transforms (C7) — pure-numpy, vectorized, no proj dependency.
+
+The reference resolves GeoTIFF SRS names to EPSG codes and transforms
+WGS84 probe coordinates into the tiff's CRS before the affine pixel math
+(/root/reference/src/handler/geotiff.rs:77-93, name table src/srs.rs).
+Scope here (documented): the projected families a DEM pipeline actually
+meets — UTM on WGS84/ETRS89 (transverse Mercator) and Web Mercator —
+plus geographic pass-through.  Everything is public math:
+
+- Transverse Mercator uses Karney's 6th-order Krueger series
+  ("Transverse Mercator with an accuracy of a few nanometers", 2011) —
+  exact to far below the reference's own 1e-7-degree test tolerance
+  (geotiff.rs:1013-1052 pins 4326<->25832 on these very formulas).
+- Web Mercator (EPSG:3857) is the closed-form spherical formula.
+- The name->EPSG resolver is rule-generated for the supported families
+  (NOT a copy of the reference's literal table): 'WGS 84 / UTM zone 33N'
+  -> 32633, 'ETRS89 / UTM zone 32N' -> 258xx, etc.; unknown names -> None.
+
+All functions are numpy-vectorized and wrapped for Spark by
+``transform_cols`` (one Arrow-batched pandas UDF).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+# GRS80 and WGS84 ellipsoids differ only in the inverse flattening's 12th
+# digit; both UTM families use k0=0.9996, FE=500km
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+}
+K0 = 0.9996
+FALSE_EASTING = 500000.0
+FALSE_NORTHING_SOUTH = 10000000.0
+
+
+def _krueger_constants(f: float) -> tuple[float, np.ndarray, np.ndarray]:
+    """Rectifying-radius factor and alpha/beta series in n = f/(2-f)."""
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    a_over = (1 + n2 / 4 + n4 / 64 + n6 / 256) / (1 + n)
+    alpha = np.array([
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+        + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+        - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+        + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ])
+    beta = np.array([
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+        + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+        - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ])
+    return a_over, alpha, beta
+
+
+def tm_forward(
+    lat_deg: np.ndarray,
+    lon_deg: np.ndarray,
+    lon0_deg: float,
+    ellipsoid: str = "GRS80",
+    k0: float = K0,
+    fe: float = FALSE_EASTING,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """WGS84/ETRS89 geographic -> transverse Mercator (easting, northing)."""
+    a, f = _ELLIPSOIDS[ellipsoid]
+    a_over, alpha, _ = _krueger_constants(f)
+    A = a * a_over
+    e = np.sqrt(f * (2 - f))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + aj * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + aj * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return fe + k0 * A * eta, fn + k0 * A * xi
+
+
+def tm_inverse(
+    easting: np.ndarray,
+    northing: np.ndarray,
+    lon0_deg: float,
+    ellipsoid: str = "GRS80",
+    k0: float = K0,
+    fe: float = FALSE_EASTING,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Transverse Mercator (easting, northing) -> (lat, lon) degrees."""
+    a, f = _ELLIPSOIDS[ellipsoid]
+    a_over, _, beta = _krueger_constants(f)
+    A = a * a_over
+    e = np.sqrt(f * (2 - f))
+    xi = (np.asarray(northing, dtype=np.float64) - fn) / (k0 * A)
+    eta = (np.asarray(easting, dtype=np.float64) - fe) / (k0 * A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, bj in enumerate(beta, start=1):
+        xi_p = xi_p - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton on tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2)
+    tau = tau_p.copy()
+    for _ in range(5):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.sqrt(1 + tau * tau)))
+        f_tau = tau * np.sqrt(1 + sigma * sigma) - sigma * np.sqrt(1 + tau * tau)
+        d_tau = (
+            (np.sqrt((1 + sigma * sigma) * (1 + tau * tau)) - sigma * tau)
+            * (1 - e * e)
+            * np.sqrt(1 + tau * tau)
+            / (1 + (1 - e * e) * tau * tau)
+        )
+        tau = tau + (tau_p - f_tau) / d_tau
+    return np.degrees(np.arctan(tau)), np.degrees(lam) + lon0_deg
+
+
+_R_MERC = 6378137.0
+
+
+def webmercator_forward(lat_deg, lon_deg) -> tuple[np.ndarray, np.ndarray]:
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    x = _R_MERC * np.radians(lon)
+    y = _R_MERC * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_MERC)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _R_MERC)) - np.pi / 2)
+    return lat, lon
+
+
+# ---------------------------------------------------------------- name->EPSG
+
+_UTM_RE = re.compile(
+    r"^(WGS ?84|ETRS ?89)\s*/\s*UTM zone (\d{1,2})([NS])$", re.IGNORECASE
+)
+
+
+def name_to_epsg(name: str) -> int | None:
+    """Rule-generated resolver for the supported families (the reference's
+    equivalent is a literal 7800-line table, srs.rs:6-15)."""
+    s = name.strip()
+    if s.upper() in ("WGS 84", "WGS84", "EPSG:4326"):
+        return 4326
+    if s.upper() in ("ETRS89", "EPSG:4258"):
+        return 4258
+    if s in ("WGS 84 / Pseudo-Mercator", "Web Mercator", "EPSG:3857"):
+        return 3857
+    m = _UTM_RE.match(s)
+    if m:
+        datum, zone, hemi = m.group(1).upper().replace(" ", ""), int(m.group(2)), m.group(3).upper()
+        if not 1 <= zone <= 60:
+            return None
+        if datum == "WGS84":
+            return (32600 if hemi == "N" else 32700) + zone
+        if datum == "ETRS89" and hemi == "N" and 28 <= zone <= 38:
+            return 25800 + zone
+    m2 = re.match(r"^EPSG:(\d+)$", s, re.IGNORECASE)
+    if m2:
+        return int(m2.group(1))
+    return None
+
+
+def epsg_params(epsg: int) -> dict | None:
+    """Transform parameters for a supported projected EPSG; None if the
+    code is geographic (no transform) — raises on unsupported codes."""
+    if epsg in (4326, 4258):
+        return None
+    if epsg == 3857:
+        return {"kind": "webmercator"}
+    if 32601 <= epsg <= 32660:
+        return {"kind": "tm", "lon0": (epsg - 32600) * 6 - 183, "ellipsoid": "WGS84", "fn": 0.0}
+    if 32701 <= epsg <= 32760:
+        return {"kind": "tm", "lon0": (epsg - 32700) * 6 - 183, "ellipsoid": "WGS84", "fn": FALSE_NORTHING_SOUTH}
+    if 25828 <= epsg <= 25838:
+        return {"kind": "tm", "lon0": (epsg - 25800) * 6 - 183, "ellipsoid": "GRS80", "fn": 0.0}
+    raise ValueError(f"unsupported EPSG:{epsg} (supported: 4326/4258/3857/UTM)")
+
+
+def wgs84_to_epsg(lat, lon, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) -> (x, y) in the target CRS; identity (lon, lat) for
+    geographic targets (matching the reference's latlong handling,
+    geotiff.rs:77-93)."""
+    p = epsg_params(epsg)
+    if p is None:
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if p["kind"] == "webmercator":
+        return webmercator_forward(lat, lon)
+    return tm_forward(lat, lon, p["lon0"], p["ellipsoid"], fn=p["fn"])
+
+
+def epsg_to_wgs84(x, y, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) in source CRS -> (lat, lon) WGS84-ish degrees."""
+    p = epsg_params(epsg)
+    if p is None:
+        return np.asarray(y, dtype=np.float64), np.asarray(x, dtype=np.float64)
+    if p["kind"] == "webmercator":
+        return webmercator_inverse(x, y)
+    return tm_inverse(x, y, p["lon0"], p["ellipsoid"], fn=p["fn"])
+
+
+def transform_cols(df, epsg: int, lat_col: str = "lat", lon_col: str = "lon",
+                   out_x: str = "crs_x", out_y: str = "crs_y"):
+    """Spark wrapper: add target-CRS coordinate columns via one
+    Arrow-batched pandas UDF (struct-returning, single boundary crossing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def tf(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for lat_s, lon_s in it:
+            la = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lo = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            x, y = wgs84_to_epsg(la, lo, epsg)
+            yield pd.DataFrame({"x": x, "y": y})
+
+    tmp = df.withColumn("__crs", tf(F.col(lat_col), F.col(lon_col)))
+    return (
+        tmp.withColumn(out_x, F.col("__crs.x"))
+        .withColumn(out_y, F.col("__crs.y"))
+        .drop("__crs")
+    )
