@@ -481,6 +481,68 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding -> capped candidate buckets -> pairs (the scale
+    dedup shape: only shuffle is groupBy(band, key))."""
+    from ot_spark.webtext.dedup import minhash_candidate_pairs, with_minhash
+
+    # bounded subset keeps the md5-mode bench cost predictable at sf0.1
+    # (covers the whole table at the sf0.01 correctness gate)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    sigs = with_minhash(docs, k=8, shingle_n=3, hash_mode="md5")
+    return minhash_candidate_pairs(sigs, bands=4, max_bucket=50)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    Jaccard verify -> min-id representative."""
+    from ot_spark.webtext.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    out = minhash_dedup(
+        docs, k=8, bands=4, shingle_n=3, threshold=0.5, hash_mode="md5"
+    )
+    return out.select("doc_id", "rep")
+
+
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: driver mini-Lloyd on a deterministic sample,
+    JVM argmax assignment (rows-only: Lloyd isn't SQL-expressible; recall
+    pinned by tests/test_webtext.py)."""
+    from ot_spark.webtext.simsearch import train_ivf_centroids, with_ivf_cell
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, sample=500, iters=3)
+    return (
+        with_ivf_cell(emb, cents)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas batch
+    decode (deterministic fake container; real codec path is a documented
+    stub) -> typed feature struct (rows-only)."""
+    from ot_spark.webtext.multimodal import make_fake_image, with_image_features
+
+    ids = [r.doc_id for r in
+           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where("doc_id < 100").select("doc_id").collect()]
+    rows = [
+        (int(i), make_fake_image(8 + int(i) % 5, 6 + int(i) % 3, seed=int(i)))
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = with_image_features(df)
+    return out.select(
+        "doc_id",
+        F.col("img_features.width").alias("width"),
+        F.col("img_features.height").alias("height"),
+        F.round(F.col("img_features.mean_px"), 4).alias("mean_px"),
+    )
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed rank: top-3 orders per customer by price (SURVEY §2.5
     sorts/limits family)."""
@@ -578,6 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "split_threshold": q_split_threshold,
         "minhash": q_minhash,
+        "lsh_bands": q_lsh_bands,
+        "minhash_dedup": q_minhash_dedup,
+        "ivf_cells": q_ivf_cells,
+        "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
         "quality": q_quality,
         "langid": q_langid,
@@ -1030,6 +1096,56 @@ FROM e
 """
 
 
+def _minhash_sig8_cte() -> str:
+    """CTEs t, s, m: tokens -> shingles -> 8-value md5 minhash signature
+    list (same construction _MINHASH_ORACLE_SQL pins for k=4)."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, x -> substr(md5(concat('{i}#', x)), 1, 16)))"
+        for i in range(8)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 2000),
+s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+m AS (SELECT doc_id, [{mins}] AS sig FROM s),
+bd AS (
+  SELECT doc_id, bnd, md5(array_to_string(sig[bnd*2+1 : bnd*2+2], '|')) AS key
+  FROM m, (SELECT unnest(range(4)) AS bnd) bb
+),
+g AS (
+  SELECT bnd, key FROM bd GROUP BY bnd, key HAVING count(*) BETWEEN 2 AND 50
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bd x JOIN g ON x.bnd = g.bnd AND x.key = g.key
+  JOIN bd y ON y.bnd = g.bnd AND y.key = g.key
+  WHERE x.doc_id < y.doc_id
+)"""
+
+
+_LSH_BANDS_ORACLE_SQL = _minhash_sig8_cte() + "\nSELECT a, b FROM cand"
+
+_MINHASH_DEDUP_ORACLE_SQL = _minhash_sig8_cte() + """,
+e AS (SELECT DISTINCT doc_id, unnest(sh) AS gsh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.a
+  JOIN e eb ON eb.doc_id = c.b AND ea.gsh = eb.gsh
+  GROUP BY c.a, c.b
+),
+dups AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+rep AS (SELECT b AS doc_id, min(a) AS rep FROM dups GROUP BY b)
+SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
+WHERE d.doc_id < 2000
+"""
+
+
 def _lineage_resume_oracle_sql() -> str:
     cell_sql = grid_cell_sql(pagesview.LAT_SQL, pagesview.LON_SQL)
     return f"""
@@ -1048,6 +1164,8 @@ def oracle_sql() -> dict[str, str]:
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
         "minhash": _MINHASH_ORACLE_SQL,
+        "lsh_bands": _LSH_BANDS_ORACLE_SQL,
+        "minhash_dedup": _MINHASH_DEDUP_ORACLE_SQL,
         "ngram_jaccard": _JACCARD_ORACLE_SQL,
         "quality": _quality_oracle_sql(),
         "langid": _langid_oracle_sql(),
