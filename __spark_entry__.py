@@ -421,6 +421,20 @@ def q_remove_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filters.remove_metadata(df)
 
 
+def q_element_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 ElementCounter x stages (info.rs:10-43) + A5 distinct-id count
+    (collect.rs:39-42) as one row."""
+    df = pagesview.pages_df(spark, sf_dir)
+    acc = filters.complex_filter(df)
+    return (
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        .crossJoin(acc.agg(F.count(F.lit(1)).cast("long").alias("n_accepted")))
+        .crossJoin(
+            acc.agg(F.countDistinct("doc_id").cast("long").alias("n_distinct_ids"))
+        )
+    )
+
+
 def q_admin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 country counters (area.rs:344-348, 412-417) as one row."""
     df = pagesview.pages_df(spark, sf_dir).where(_off_boundary_col())
@@ -657,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_admin": q_pip_admin,
         "pip_admin_loaded": q_pip_admin_loaded,
         "admin_stats": q_admin_stats,
+        "element_counts": q_element_counts,
         "elevation_stats": q_elevation_stats,
         "semi_join": q_semi_join,
         "semi_join_members": q_semi_join_members,
@@ -1186,6 +1201,11 @@ def oracle_sql() -> dict[str, str]:
         "pip_admin": _PIP_GEOMETRIC_SQL,
         "pip_admin_loaded": _PIP_GEOMETRIC_SQL,
         "admin_stats": _admin_stats_oracle_sql(),
+        "element_counts": (
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE {pagesview.complex_filter_sql()}) AS n_accepted, "
+            f"(SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents WHERE {pagesview.complex_filter_sql()}) AS n_distinct_ids"
+        ),
         "elevation_stats": _elevation_stats_oracle_sql(),
         "semi_join_members": _SEMI_MEMBERS_ORACLE_SQL,
         "split_ways": _split_ways_oracle_sql(),

@@ -106,10 +106,12 @@ def server(cores: int) -> None:
 
 
 def _spawn(cores: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.setdefault("OT_SPARK_DRIVER_MEM", "8g")  # plenty; keeps GC steady
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--server", str(cores)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, env=env,
     )
     while True:
         line = p.stdout.readline()
@@ -139,18 +141,32 @@ def main() -> None:
         return
     ensure_input()
     warmup = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "8"))
-    p_lo, p_hi = _spawn(LO), _spawn(HI)
+    servers = {LO: _spawn(LO), HI: _spawn(HI)}
+
+    def timed_run(cores: int) -> float:
+        # a server JVM occasionally dies on this host; respawn, re-warm
+        # briefly, retry — one flaky child must not void the artifact
+        for _attempt in range(3):
+            try:
+                return _one_run(servers[cores])
+            except SystemExit:
+                print(f"server {cores} died; respawning", file=sys.stderr)
+                servers[cores] = _spawn(cores)
+                for _ in range(3):
+                    _one_run(servers[cores])
+        raise SystemExit(f"server {cores} keeps dying")
+
     try:
         for _ in range(warmup):  # tiered JIT ramp, both levels
-            _one_run(p_lo)
-            _one_run(p_hi)
+            timed_run(LO)
+            timed_run(HI)
         lo_times, hi_times = [], []
         for _ in range(RUNS):  # interleaved: noise hits both levels alike
-            lo_times.append(_one_run(p_lo))
-            hi_times.append(_one_run(p_hi))
+            lo_times.append(timed_run(LO))
+            hi_times.append(timed_run(HI))
     finally:
-        p_lo.kill()
-        p_hi.kill()
+        for p in servers.values():
+            p.kill()
     results = {
         LO: {"cores": LO, "best_sec": min(lo_times),
              "all_sec": [round(t, 2) for t in lo_times],
