@@ -205,8 +205,8 @@ filter -> tag projection -> grid+S2+h3ish tiling -> broadcast PIP join ->
 raster elevation -> sink) over the SAME {N_PAGES:,}-row deterministic
 pages parquet, at two local parallelism levels, one fresh JVM per level,
 both sessions alive simultaneously with runs INTERLEAVED N,4N,N,4N,...
-(host noise hits both levels alike), 8 warm-up rounds (tiered JIT), then
-{RUNS} measured rounds per level, MIN taken.
+(host noise hits both levels alike), {warmup} warm-up rounds (tiered JIT),
+then {RUNS} measured rounds per level, MIN taken.
 
 | level | cores | pages/sec (best) | run times (s) |
 |---|---|---|---|
