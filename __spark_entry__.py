@@ -90,6 +90,25 @@ def q_grid_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-cell rollup via salted two-stage aggregation
+    (north_star mega-cell handling) — must equal the plain groupBy."""
+    from ot_spark.skew import salted_agg
+
+    df = pagesview.pages_df(spark, sf_dir)
+    cellcol = grid_cell(F.col("lat"), F.col("lon"), 1.0)
+    pts = df.select(cellcol.alias("cell"), "doc_id")
+    return salted_agg(
+        pts,
+        ["cell"],
+        counts={"n_pages": F.lit(1)},
+        sums={"sum_doc": F.col("doc_id")},
+        maxs={"max_doc": F.col("doc_id")},
+        n_salt=8,
+        unique_col="doc_id",
+    )
+
+
 def q_pip_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 filter-and-refine PIP join against the fixture admin polygons."""
     df = pagesview.pages_df(spark, sf_dir).where(_off_boundary_col())
@@ -668,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_filter": q_complex_filter,
         "tag_projection": q_tag_projection,
         "grid_cell": q_grid_cell,
+        "salted_cells": q_salted_cells,
         "pip_admin": q_pip_admin,
         "pip_admin_loaded": q_pip_admin_loaded,
         "admin_stats": q_admin_stats,
@@ -1197,6 +1217,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT "
             + grid_cell_sql(f"({_LAT100} / 100.0)", f"({_LON100} / 100.0)")
             + " AS cell, CAST(count(*) AS BIGINT) AS n_pages FROM documents GROUP BY 1"
+        ),
+        "salted_cells": (
+            "SELECT "
+            + grid_cell_sql(f"({_LAT100} / 100.0)", f"({_LON100} / 100.0)")
+            + " AS cell, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc, max(doc_id) AS max_doc "
+            "FROM documents GROUP BY 1"
         ),
         "pip_admin": _PIP_GEOMETRIC_SQL,
         "pip_admin_loaded": _PIP_GEOMETRIC_SQL,
