@@ -155,9 +155,12 @@ def spatial_enrich(
                 out[f"h3_{r}"] = hs
             yield pd.DataFrame(out)
 
+    # nondeterministic marker: a downstream projection of a SUBSET of __e
+    # fields lets column pruning clone the UDF once per field otherwise
+    enrich_nd = enrich.asNondeterministic()
     df = df.withColumn("raster_id", rid)
     df = df.withColumn(
-        "__e", enrich(border_cell, F.col("raster_id"), lon, lat)
+        "__e", enrich_nd(border_cell, F.col("raster_id"), lon, lat)
     )
     df = df.withColumn(
         "admin_key", F.coalesce("__single_key", F.col("__e.border_key"))

@@ -283,10 +283,37 @@ def with_h3ish_cells(
     df: DataFrame, resolutions: tuple[int, ...] = (7, 9),
     lat_col: str = "lat", lon_col: str = "lon",
 ) -> DataFrame:
-    for res in resolutions:
-        enc = _h3ish_udf(res)
-        df = df.withColumn(f"h3_{res}", enc(F.col(lat_col), F.col(lon_col)).cast("long"))
-    return df
+    """All resolutions in ONE struct-returning Arrow UDF — one UDF per
+    resolution would cost one ArrowEvalPython node (with its own Python
+    worker pool) each.  The UDF is marked nondeterministic so column
+    pruning cannot clone it per extracted field (measured: 2x
+    ArrowEvalPython on a pruned groupBy otherwise)."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = [StructField(f"h3_{r}", LongType()) for r in resolutions]
+    schema = StructType(fields)
+
+    @F.pandas_udf(schema)
+    def enc(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for lat_s, lon_s in it:
+            lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = ~(np.isnan(lat_np) | np.isnan(lon_np))
+            cols = {}
+            for r in resolutions:
+                h = np.zeros(len(lat_np), dtype=np.int64)
+                if ok.any():
+                    h[ok] = h3ish_cell_ids(lat_np[ok], lon_np[ok], r)
+                hs = pd.Series(h, dtype="Int64")
+                hs[~ok] = pd.NA
+                cols[f"h3_{r}"] = hs
+            yield pd.DataFrame(cols)
+
+    enc = enc.asNondeterministic()
+    tmp = df.withColumn("__h3", enc(F.col(lat_col), F.col(lon_col)))
+    for f_ in fields:
+        tmp = tmp.withColumn(f_.name, F.col(f"__h3.{f_.name}"))
+    return tmp.drop("__h3")
 
 
 def with_tiles(
@@ -332,6 +359,9 @@ def with_tiles(
                 cols[f"h3_{r}"] = hs
             yield pd.DataFrame(cols)
 
+    # nondeterministic marker: stops column pruning from cloning the UDF
+    # once per extracted struct field
+    enc = enc.asNondeterministic()
     tmp = df.withColumn("__tiles", enc(F.col(lat_col), F.col(lon_col)))
     for f_ in fields:
         tmp = tmp.withColumn(f_.name, F.col(f"__tiles.{f_.name}"))
