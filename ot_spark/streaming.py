@@ -1,0 +1,191 @@
+"""Structured Streaming surface.
+
+The reference is a batch tool (SURVEY §2.7: no streaming operators), and
+the graft's resumability requirement is met by lineage checkpointing
+(ot_spark.lineage).  This module makes the same operators available on
+unbounded inputs — the Spark-native growth path a Common-Crawl-style feed
+actually uses:
+
+- ``stream_pages``: file-source readStream over a pages directory (new
+  parquet files = new micro-batch; exactly-once with checkpointing);
+- ``enrich_stream``: the SAME Column-algebra operators (attribute filter,
+  tag projection, grid cell, broadcast single-cell admin join) applied to
+  a streaming frame — they are stateless projections/filters/broadcast
+  joins, legal in streams as-is;
+- ``windowed_cell_counts``: event-time tumbling-window counts per grid
+  cell with a watermark for late data;
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session assignment with a gap
+  timeout whose state (last event time, session counter) survives across
+  micro-batches and restarts (checkpointed).
+
+Batch/stream parity is pinned by tests/test_streaming.py: the streaming
+results (availableNow trigger -> memory sink) equal the batch operators
+on the same data, including sessions split across two micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StructField, StructType, TimestampNTZType, TimestampType
+)
+
+from . import filters
+from .area_index import AreaIndex
+from .cells import grid_cell
+
+
+def stream_pages(
+    spark: SparkSession, pages_dir: str, schema: StructType
+) -> DataFrame:
+    """File-source stream: every new parquet file under ``pages_dir`` is
+    ingested exactly once (offsets in the query checkpoint)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(pages_dir)
+    )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    area_index: AreaIndex | None = None,
+    tile_size: float = 1.0,
+) -> DataFrame:
+    """Stateless slice of the batch pipeline, unchanged on a stream:
+    complex filter -> tag projection -> grid cell -> broadcast single-cell
+    admin join (border-cell refine needs the pandas UDF — equally legal in
+    streaming, omitted here to keep the demo JVM-only)."""
+    out = stream
+    if "attrs" in out.columns:
+        out = filters.complex_filter(out)
+        out = filters.remove_tags(out)
+    out = out.withColumn("grid_cell", grid_cell(F.col("lat"), F.col("lon"), tile_size))
+    if area_index is not None and area_index.single_cells:
+        spark = out.sparkSession
+        single_df = spark.createDataFrame(
+            list(area_index.single_cells.items()),
+            "grid_cell long, admin_key string",
+        )
+        out = out.join(F.broadcast(single_df), "grid_cell", "left")
+    return out
+
+
+def windowed_cell_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window x grid cell counts; the watermark bounds
+    state and admits late rows up to its horizon."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("grid_cell"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "grid_cell",
+            "n_pages",
+        )
+    )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_no", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("last_es", LongType()),
+        StructField("session_no", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_sec: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_es, session_no = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["es", "event_id"])
+        out_sessions = []
+        for es in rows["es"]:
+            if last_es is None or es - last_es > gap_sec:
+                session_no += 1
+            last_es = int(es)
+            out_sessions.append(session_no)
+        state.update((last_es, session_no))
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": rows["event_id"].to_numpy(),
+                "session_no": out_sessions,
+            }
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_sec: int = 1800
+) -> DataFrame:
+    """Stateful streaming sessionization (the batch q_sessionize analog):
+    per-user session numbers assigned incrementally; state = (last event
+    epoch, session counter) carried across micro-batches via
+    applyInPandasWithState."""
+    prepared = events.select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("es")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_sec),
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, checkpoint: str, complete: bool = False
+) -> None:
+    """Drain everything currently available into an in-memory table
+    (availableNow trigger), blocking until done — the test/demo sink.
+    NOTE: the memory sink cannot RESUME from a checkpoint; use
+    :func:`run_to_parquet` when state must carry across restarts."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_parquet(stream: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain to a parquet sink (supports checkpoint recovery — re-running
+    with the same checkpoint resumes offsets AND operator state)."""
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
