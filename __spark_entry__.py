@@ -629,6 +629,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts (the batch twin of
+    streaming.windowed_cell_counts; oracle = DuckDB time_bucket)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell encode (level 10) + per-cell rollup (north_star tiling;
     rows-only: id algebra pinned by tests/test_s2h3.py invariants)."""
@@ -666,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
         "s2_tiles": q_s2_tiles,
         "h3_tiles": q_h3_tiles,
         "knn_raster": q_knn_raster,
@@ -1195,6 +1210,11 @@ def oracle_sql() -> dict[str, str]:
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "sessionize": _SESSIONIZE_ORACLE_SQL,
+        "windowed_counts": (
+            "SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
         "elevation": _elevation_oracle_sql(),
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,

@@ -38,7 +38,16 @@ def run_pipeline(spark, n_pages: int) -> tuple[float, int, list[float]]:
 
     idx = entrymod._admin_index()
     ridx = entrymod._raster_index()
-    df = pages_range_df(spark, n_pages)
+    # scan a materialized parquet (the production shape — and the same
+    # input tools/scaling_bench.py measures), generating it once if absent
+    input_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_INPUT", f"/tmp/bench_pages_{n_pages}.parquet"
+    )
+    if not os.path.exists(input_path):
+        pages_range_df(spark, n_pages, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(input_path)
+    df = spark.read.parquet(input_path)
     df = parse.with_coordinates(df)
     df = filters.complex_filter(df)
     df = filters.remove_tags(df)
