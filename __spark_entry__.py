@@ -576,6 +576,16 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-pairs, LSH-bucketed (candidates pair only
+    within their sign-signature bucket, capped) then cosine-verified."""
+    from ot_spark.webtext.simsearch import embedding_near_pairs, hyperplanes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = hyperplanes(64, n_planes=2)
+    return embedding_near_pairs(emb, planes, threshold=0.4, max_bucket=400)
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed rank: top-3 orders per customer by price (SURVEY §2.5
     sorts/limits family)."""
@@ -699,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "lsh_ann": q_lsh_ann,
+        "embedding_pairs": q_embedding_pairs,
         "complex_filter": q_complex_filter,
         "tag_projection": q_tag_projection,
         "grid_cell": q_grid_cell,
@@ -1103,6 +1114,37 @@ LIMIT 10
 """
 
 
+def _embedding_pairs_oracle_sql() -> str:
+    """Same bucketing (2 literal hyperplanes, sequential dot products),
+    same cap, same exact-cosine verify."""
+    from ot_spark.webtext.simsearch import hyperplanes
+
+    planes = hyperplanes(64, n_planes=2)
+    rows = ", ".join(
+        f"({i}, [{', '.join(f'{x!r}' for x in p.tolist())}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+WITH planes(i, p) AS (VALUES {rows}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT e.vec_id, e.v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.p) > 0
+                       THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS BIGINT) AS sig
+  FROM e, planes p GROUP BY e.vec_id, e.v
+),
+sz AS (SELECT sig, count(*) AS n FROM sigs GROUP BY sig),
+ok AS (SELECT sigs.vec_id, sigs.v, sigs.sig FROM sigs JOIN sz USING (sig) WHERE n <= 400)
+SELECT x.vec_id AS a, y.vec_id AS b, round({cos}, 6) AS cosine
+FROM ok x JOIN ok y ON x.sig = y.sig AND x.vec_id < y.vec_id
+WHERE {cos} >= 0.4
+"""
+
+
 def _admin_stats_oracle_sql() -> str:
     border = sorted(int(c) for c in _admin_index().border_cells)
     in_border = (
@@ -1259,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(),
         "fingerprint": _fingerprint_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
+        "embedding_pairs": _embedding_pairs_oracle_sql(),
         "filter_by_value": (
             "SELECT doc_id FROM documents WHERE "
             + pagesview.attr_value_regex_sql("railway", "^plat")

@@ -120,6 +120,41 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    planes: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the ANN-bucketed dedup shape:
+    rows pair only within their hyperplane-LSH bucket (equal sign
+    signature), buckets above ``max_bucket`` are dropped (boilerplate/
+    zero-vector clusters), survivors verified with exact cosine.
+
+    Same scale logic as MinHash-LSH: the only shuffle is groupBy(bucket);
+    recall is tuned by n_planes (fewer planes = bigger buckets = higher
+    recall, more verify work)."""
+    b = with_lsh_bucket(df, planes, vec_col).select(
+        id_col, "lsh_bucket", F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sizes = b.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("__n"))
+    b = b.join(F.broadcast(sizes.where(F.col("__n") <= max_bucket)), "lsh_bucket")
+    a = b.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("a"), F.col("__v").alias("va")
+    )
+    bb = b.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("b"), F.col("__v").alias("vb")
+    )
+    pairs = a.join(bb, "lsh_bucket").where(F.col("a") < F.col("b"))
+    cos = cosine_col(F.col("va"), F.col("vb"))
+    return (
+        pairs.where(cos >= threshold)
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
