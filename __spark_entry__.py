@@ -479,7 +479,8 @@ def q_pip_admin_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence from the geometric oracle pins any save/load corruption."""
     import shutil
 
-    path = "/tmp/ot_gate/area_index"
+    # pid-scoped: concurrent gate processes must not trample each other
+    path = f"/tmp/ot_gate_{os.getpid()}/area_index"
     shutil.rmtree(path, ignore_errors=True)
     area_index.save_index(_admin_index(), path)
     loaded = area_index.load_index(path)
@@ -495,7 +496,7 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ot_spark import lineage as lin
 
-    base = "/tmp/ot_gate/lineage"
+    base = f"/tmp/ot_gate_{os.getpid()}/lineage"
     shutil.rmtree(base, ignore_errors=True)
     df = pagesview.pages_df(spark, sf_dir).select(
         "doc_id", grid_cell(F.col("lat"), F.col("lon"), 1.0).alias("grid_cell")
