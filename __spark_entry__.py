@@ -539,6 +539,19 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "rep")
 
 
+def q_minhash_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline with TRUE connected-components clustering
+    (min-label propagation; oracle = recursive-CTE transitive closure)."""
+    from ot_spark.webtext.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    out = minhash_dedup(
+        docs, k=8, bands=4, shingle_n=3, threshold=0.5, hash_mode="md5",
+        clustering="cc",
+    )
+    return out.select("doc_id", "rep")
+
+
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: driver mini-Lloyd on a deterministic sample,
     JVM argmax assignment (rows-only: Lloyd isn't SQL-expressible; recall
@@ -701,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "lsh_bands": q_lsh_bands,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_cc": q_minhash_dedup_cc,
         "ivf_cells": q_ivf_cells,
         "image_features": q_image_features,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1189,15 +1203,16 @@ FROM e
 """
 
 
-def _minhash_sig8_cte() -> str:
+def _minhash_sig8_cte(recursive: bool = False) -> str:
     """CTEs t, s, m: tokens -> shingles -> 8-value md5 minhash signature
     list (same construction _MINHASH_ORACLE_SQL pins for k=4)."""
     mins = ", ".join(
         f"list_min(list_transform(sh, x -> substr(md5(concat('{i}#', x)), 1, 16)))"
         for i in range(8)
     )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 2000),
+{kw} t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 2000),
 s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
 m AS (SELECT doc_id, [{mins}] AS sig FROM s),
 bd AS (
@@ -1238,6 +1253,35 @@ FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id
 WHERE d.doc_id < 2000
 """
 
+# full-CC variant: representative = min id in the CONNECTED COMPONENT
+# (transitive closure via recursive CTE), not just the direct neighborhood
+_MINHASH_DEDUP_CC_ORACLE_SQL = _minhash_sig8_cte(recursive=True) + """,
+e AS (SELECT DISTINCT doc_id, unnest(sh) AS gsh FROM s),
+sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.a
+  JOIN e eb ON eb.doc_id = c.b AND ea.gsh = eb.gsh
+  GROUP BY c.a, c.b
+),
+dups AS (
+  SELECT a, b FROM inter
+  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+sym AS (SELECT a, b FROM dups UNION SELECT b AS a, a AS b FROM dups),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+mn AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(least(mn.m, d.doc_id), d.doc_id) AS rep
+FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id
+WHERE d.doc_id < 2000
+"""
+
 
 def _lineage_resume_oracle_sql() -> str:
     cell_sql = grid_cell_sql(pagesview.LAT_SQL, pagesview.LON_SQL)
@@ -1264,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": _MINHASH_ORACLE_SQL,
         "lsh_bands": _LSH_BANDS_ORACLE_SQL,
         "minhash_dedup": _MINHASH_DEDUP_ORACLE_SQL,
+        "minhash_dedup_cc": _MINHASH_DEDUP_CC_ORACLE_SQL,
         "ngram_jaccard": _JACCARD_ORACLE_SQL,
         "quality": _quality_oracle_sql(),
         "langid": _langid_oracle_sql(),

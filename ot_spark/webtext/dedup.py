@@ -185,6 +185,51 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (id, label)
+    where label = min node id in the component.
+
+    Min-label propagation (Pregel-lite): every node starts as its own
+    label; each round every node takes the min of its own and its
+    neighbors' labels; stop at fixpoint.  O(component diameter) rounds of
+    one shuffle each; localCheckpoint truncates the growing plan so round
+    N doesn't replan rounds 1..N-1 (the standard iterative-join pattern)."""
+    a, b = F.col(a_col), F.col(b_col)
+    sym = pairs.select(a.alias("src"), b.alias("dst")).unionByName(
+        pairs.select(b.alias("src"), a.alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -194,18 +239,28 @@ def minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hash_mode: str = "xxhash",
+    clustering: str = "onestep",
 ) -> DataFrame:
     """Full near-dup pipeline: signature -> LSH candidates -> exact Jaccard
-    verify -> connected-ish clustering (min-id representative via one
-    union step; exact CC would iterate — one step suffices for pair-shaped
-    duplicates, documented approximation)."""
+    verify -> representative assignment.
+
+    clustering='onestep': min direct-neighbor id — exact for pair-shaped
+    duplicate groups, one shuffle.
+    clustering='cc': true connected components (min-label propagation) —
+    transitive duplicate chains collapse to one representative."""
     sigs = with_minhash(df, text_col, k, shingle_n, hash_mode)
     cands = minhash_candidate_pairs(sigs, id_col, bands=bands)
     dups = jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold)
-    # representative = min id over the pair graph's direct neighborhood
-    rep = dups.select(F.col("b").alias(id_col), F.col("a").alias("rep")).groupBy(
-        id_col
-    ).agg(F.min("rep").alias("rep"))
+    if clustering == "cc":
+        labels = connected_components(dups)
+        rep = labels.withColumnsRenamed({"id": id_col, "label": "rep"})
+    elif clustering == "onestep":
+        # representative = min id over the pair graph's direct neighborhood
+        rep = dups.select(F.col("b").alias(id_col), F.col("a").alias("rep")).groupBy(
+            id_col
+        ).agg(F.min("rep").alias("rep"))
+    else:
+        raise ValueError(f"unknown clustering: {clustering!r}")
     return df.join(rep, id_col, "left").withColumn(
         "rep", F.coalesce("rep", F.col(id_col))
     )

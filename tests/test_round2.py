@@ -183,6 +183,20 @@ def test_member_node_ids_union(spark):
     assert {r.url for r in out.collect()} == {"a", "b"}
 
 
+# ---------------------------------------------------- connected components
+
+def test_connected_components_chain(spark):
+    from ot_spark.webtext.dedup import connected_components
+
+    # two chains (1-2-3-4, 10-11) and a triangle (20,21,22)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 # ------------------------------------------- keep-original x skip interplay
 
 def test_keep_original_skip_preserves_existing_elev(spark, fixture_dir):
