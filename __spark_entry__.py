@@ -469,8 +469,9 @@ def q_elevation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = pagesview.pages_df(spark, sf_dir).withColumn(
         "skip", F.col("doc_id") % 10 == 0
     )
-    out = enrich_with_elevation(df, _raster_index(), skip_col="skip")
-    return elevation_stats_df(out, skip_col="skip")
+    idx = _raster_index()
+    out = enrich_with_elevation(df, idx, skip_col="skip")
+    return elevation_stats_df(out, skip_col="skip", index=idx)
 
 
 def q_pip_admin_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,12 +508,100 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col(lin.BUCKET_COL) < 32)
         .drop(lin.BUCKET_COL)
     )
-    lin.write_with_lineage(half, out_dir, lin_path, key_cols=["doc_id"])
-    lin.write_with_lineage(df, out_dir, lin_path, key_cols=["doc_id"])
+    # snapshot=False: this query pins RESUME semantics; the snapshot layer
+    # has its own gate query (snapshot_read)
+    lin.write_with_lineage(
+        half, out_dir, lin_path, key_cols=["doc_id"], snapshot=False
+    )
+    lin.write_with_lineage(
+        df, out_dir, lin_path, key_cols=["doc_id"], snapshot=False
+    )
     back = spark.read.parquet(out_dir)
     return back.groupBy(F.col(lin.BUCKET_COL).alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+def q_splitting_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 splitting sink (/root/reference/src/output.rs:59-129): write nodes
+    (including late split nodes), ways, and relations through the
+    range-sorted sink, read the files back, and return each row's PHYSICAL
+    position — derived from (file path, in-file order), NOT from re-sorting —
+    so the oracle's ORDER-BY row_number genuinely checks that the sink
+    restored global node -> way -> relation order on disk."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ot_spark import pipeline
+
+    base = f"/tmp/ot_gate_{os.getpid()}/splitsink"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def key(prefix: str, expr: F.Column) -> F.Column:
+        return F.concat(F.lit(prefix), F.lpad(expr.cast("string"), 12, "0"))
+
+    nodes = docs.where(F.col("doc_id") % 3 == 0).select(
+        key("n", F.col("doc_id")).alias("key")
+    )
+    # "late" split nodes: ids above HIGHEST_NODE_ID, appended after ways
+    # started streaming (the reason the reference needs two files + concat)
+    split_nodes = docs.where(F.col("doc_id") % 50 == 1).select(
+        key("split", F.col("doc_id") + F.lit(50000000000)).alias("key")
+    )
+    ways = docs.where(F.col("doc_id") % 3 == 1).select(
+        key("w", F.col("doc_id")).alias("key")
+    )
+    rels = docs.where(F.col("doc_id") % 3 == 2).select(
+        key("r", F.col("doc_id")).alias("key")
+    )
+    pipeline.splitting_sink(
+        {
+            "node": nodes.unionByName(split_nodes),
+            "way": ways,
+            "relation": rels,
+        },
+        base,
+        order_key="key",
+    )
+    # physical order: files come out of the range-sorted write as
+    # part-00000..part-NNNNN in ascending range order; within a file the
+    # scan preserves row order (monotonically_increasing_id ascends within
+    # a scan task).  Global window is gate-scale only.
+    back = spark.read.parquet(base).select(
+        "type_rank",
+        "key",
+        F.col("_metadata.file_path").alias("__f"),
+        F.monotonically_increasing_id().alias("__m"),
+    )
+    w = Window.orderBy("__f", "__m")
+    return back.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.col("type_rank").cast("int").alias("type_rank"),
+        "key",
+    )
+
+
+_SPLITTING_SINK_ORACLE_SQL = """
+WITH u AS (
+  SELECT 0 AS type_rank,
+         'n' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 0, 'split' || lpad(CAST(doc_id + 50000000000 AS VARCHAR), 12, '0')
+  FROM documents WHERE doc_id % 50 = 1
+  UNION ALL
+  SELECT 1, 'w' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT 2, 'r' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT CAST(row_number() OVER (ORDER BY type_rank, key) AS BIGINT) AS rn,
+       CAST(type_rank AS INTEGER) AS type_rank, key
+FROM u
+"""
 
 
 def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,14 +778,143 @@ def q_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h3_axial_sql(res: int, lat: str = "lat", lon: str = "lon") -> tuple[str, str]:
+    """Raw (un-rounded) axial coordinate SQL at ``res``, bit-identical to
+    s2h3._axial_from_xy: the float constants are embedded via repr() (both
+    engines' decimal->binary parse is correctly rounded, so the literals
+    reconstruct the exact same doubles numpy used) and the operation order
+    matches the numpy expression term for term."""
+    import numpy as np
+
+    from ot_spark.s2h3 import h3ish_size
+
+    c1 = repr(float(np.sqrt(3.0) / 3.0))
+    c23 = repr(2.0 / 3.0)
+    size = repr(float(h3ish_size(res)))
+    qraw = f"((CAST({c1} AS DOUBLE)*{lon} - {lat}/3.0)/CAST({size} AS DOUBLE))"
+    rraw = f"((CAST({c23} AS DOUBLE)*{lat})/CAST({size} AS DOUBLE))"
+    return qraw, rraw
+
+
+def _h3_cube_round_cols(tag: str) -> tuple[str, str, str]:
+    """(rounded-cols, d-cols, final q/r exprs) for a cq{tag}/cr{tag} pair —
+    DuckDB round_even(x,0) == np.round (both round-half-to-even)."""
+    rnd = (
+        f"round_even(cq{tag},0) AS rx{tag}, "
+        f"round_even(-cq{tag}-cr{tag},0) AS ry{tag}, "
+        f"round_even(cr{tag},0) AS rz{tag}"
+    )
+    d = (
+        f"abs(rx{tag}-cq{tag}) AS dx{tag}, "
+        f"abs(ry{tag}-(-cq{tag}-cr{tag})) AS dy{tag}, "
+        f"abs(rz{tag}-cr{tag}) AS dz{tag}"
+    )
+    qr = (
+        f"CAST(CASE WHEN dx{tag}>dy{tag} AND dx{tag}>dz{tag} "
+        f"THEN -ry{tag}-rz{tag} ELSE rx{tag} END AS BIGINT) AS q{tag}, "
+        f"CAST(CASE WHEN NOT(dx{tag}>dy{tag} AND dx{tag}>dz{tag}) AND dz{tag}>dy{tag} "
+        f"THEN -rx{tag}-ry{tag} ELSE rz{tag} END AS BIGINT) AS r{tag}"
+    )
+    return rnd, d, qr
+
+
+def _h3_encode_sql(res: int, tag: str) -> str:
+    return (
+        f"((CAST({res} AS BIGINT)<<56) | ((q{tag}+134217728)<<28) "
+        f"| (r{tag}+134217728))"
+    )
+
+
+def _h3_tiles_oracle_sql() -> str:
+    """Full independent SQL re-derivation of the h3ish res-7/9 rollup:
+    equirectangular axial transform, cube rounding (half-to-even), 56/28-bit
+    id packing — all in DuckDB arithmetic."""
+    q7, r7 = _h3_axial_sql(7)
+    q9, r9 = _h3_axial_sql(9)
+    rnd7, d7, qr7 = _h3_cube_round_cols("7")
+    rnd9, d9, qr9 = _h3_cube_round_cols("9")
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents
+), raw AS (
+  SELECT doc_id, {q7} AS cq7, {r7} AS cr7, {q9} AS cq9, {r9} AS cr9 FROM pts
+), rnd AS (
+  SELECT *, {rnd7}, {rnd9} FROM raw
+), dd AS (
+  SELECT *, {d7}, {d9} FROM rnd
+), qr AS (
+  SELECT doc_id, {qr7}, {qr9} FROM dd
+), enc AS (
+  SELECT doc_id, {_h3_encode_sql(7, "7")} AS h3_7,
+         {_h3_encode_sql(9, "9")} AS h3_9
+  FROM qr
+)
+SELECT h3_7, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT h3_9) AS BIGINT) AS n_children
+FROM enc GROUP BY h3_7
+"""
+
+
 def q_knn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN nearest-raster-tile via h3ish k-ring expansion (north_star;
-    rows-only)."""
+    """kNN nearest-raster-tile via h3ish k-ring expansion (north_star)."""
     from ot_spark.s2h3 import knn_nearest_raster
 
     df = pagesview.pages_df(spark, sf_dir)
     out = knn_nearest_raster(df, _raster_index(), res=2, max_k=4)
     return out.select("doc_id", "knn_raster_id", "knn_k")
+
+
+def _knn_raster_oracle_sql(res: int = 2, max_k: int = 4) -> str:
+    """Independent re-derivation of the k-ring walk: the covered-hex set is
+    enumerated here (hex centers in the padded tile bbox — a separate loop
+    from s2h3's coverage builder) and inlined as VALUES; per-point hex
+    assignment runs the axial+cube-round SQL; the ring walk becomes the
+    closed-form axial hex distance (|dq|+|dr|+|dq+dr|)/2 — ring k contains
+    exactly the hexes at distance k — with argmin (k, pixel, order)."""
+    import math
+
+    from ot_spark.s2h3 import h3ish_size
+
+    size = h3ish_size(res)
+    sqrt3 = math.sqrt(3.0)
+    idx = _raster_index()
+    vals = []
+    for order, t in enumerate(idx.routing()):
+        lon0, lat0 = t["min_lon"] - size, t["min_lat"] - size
+        lon1, lat1 = t["max_lon"] + size, t["max_lat"] + size
+        pix = t["pixel_w"] * t["pixel_h"]
+        for rr in range(math.ceil(lat0 / (1.5 * size)), math.floor(lat1 / (1.5 * size)) + 1):
+            q_lo = math.ceil(lon0 / (sqrt3 * size) - rr / 2.0)
+            q_hi = math.floor(lon1 / (sqrt3 * size) - rr / 2.0)
+            for qq in range(q_lo, q_hi + 1):
+                vals.append(f"({qq},{rr},{repr(pix)},{order},'{t['raster_id']}')")
+    cov = ",\n  ".join(vals)
+    qraw, rraw = _h3_axial_sql(res)
+    rnd, d, qr = _h3_cube_round_cols("2")
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents
+), raw AS (
+  SELECT doc_id, {qraw} AS cq2, {rraw} AS cr2 FROM pts
+), rnd AS (SELECT *, {rnd} FROM raw
+), dd AS (SELECT *, {d} FROM rnd
+), hexes AS (SELECT doc_id, {qr} FROM dd
+), cov(q, r, pix, ord, rid) AS (VALUES
+  {cov}
+), dist AS (
+  SELECT h.doc_id, c.rid, c.pix, c.ord,
+         (abs(h.q2-c.q)+abs(h.r2-c.r)+abs(h.q2+h.r2-c.q-c.r))//2 AS k
+  FROM hexes h CROSS JOIN cov c
+), best AS (
+  SELECT doc_id, rid, k,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k, pix, ord) AS rn
+  FROM dist WHERE k <= {max_k}
+)
+SELECT h.doc_id, b.rid AS knn_raster_id, CAST(b.k AS INTEGER) AS knn_k
+FROM hexes h LEFT JOIN best b ON b.doc_id = h.doc_id AND b.rn = 1
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -741,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_by_keys": q_filter_by_keys,
         "remove_metadata": q_remove_metadata,
         "lineage_resume": q_lineage_resume,
+        "snapshot_read": q_snapshot_read,
+        "splitting_sink": q_splitting_sink,
         "agg_lineitem": q_agg_lineitem,
         "minmax_ids": q_minmax_ids,
         "dedup_exact": q_dedup_exact,
@@ -960,8 +1180,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_no
   FROM g
 )
 SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events
@@ -1198,7 +1419,8 @@ WITH pts AS (
 ), e AS (SELECT skip, {val_case} AS elev FROM pts)
 SELECT CAST(count(CASE WHEN NOT skip AND elev IS NOT NULL THEN 1 END) AS BIGINT) AS found,
        CAST(count(CASE WHEN NOT skip AND elev IS NULL THEN 1 END) AS BIGINT) AS not_found,
-       CAST(count(CASE WHEN skip THEN 1 END) AS BIGINT) AS skipped
+       CAST(count(CASE WHEN skip THEN 1 END) AS BIGINT) AS skipped,
+       CAST(0 AS BIGINT) AS unknown_crs
 FROM e
 """
 
@@ -1292,10 +1514,53 @@ FROM documents GROUP BY 1
 """
 
 
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-spirit snapshot surface: two commits (half the buckets, then
+    the rest), then a TIME-TRAVEL read as of snapshot 1 — per-bucket counts
+    must reflect only the first commit's membership, and the snapshot-pinned
+    audit of snapshot 2 must come back clean."""
+    import shutil
+
+    from ot_spark import lineage as lin
+
+    base = f"/tmp/ot_gate_{os.getpid()}/snapshot"
+    shutil.rmtree(base, ignore_errors=True)
+    df = pagesview.pages_df(spark, sf_dir).select(
+        "doc_id", grid_cell(F.col("lat"), F.col("lon"), 1.0).alias("grid_cell")
+    )
+    out_dir, lin_path = f"{base}/out", f"{base}/lineage"
+    half = (
+        lin.with_bucket(df)
+        .where(F.col(lin.BUCKET_COL) < 32)
+        .drop(lin.BUCKET_COL)
+    )
+    info1 = lin.write_with_lineage(half, out_dir, lin_path, key_cols=["doc_id"])
+    info2 = lin.write_with_lineage(df, out_dir, lin_path, key_cols=["doc_id"])
+    assert info1["snapshot_id"] == 1 and info2["snapshot_id"] == 2
+    # snapshot-pinned audit: the state recorded at snap 2 is intact on disk
+    assert lin.audit_snapshot(spark, out_dir, 2, ["doc_id"]).count() == 0
+    back = lin.read_as_of(spark, out_dir, 1)
+    return back.groupBy(F.col(lin.BUCKET_COL).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+def _snapshot_read_oracle_sql() -> str:
+    cell_sql = grid_cell_sql(pagesview.LAT_SQL, pagesview.LON_SQL)
+    return f"""
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM (
+  SELECT coalesce(CAST({cell_sql} % 64 AS INTEGER), -1) AS bucket
+  FROM documents
+) WHERE bucket < 32 GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
+        "h3_tiles": _h3_tiles_oracle_sql(),
+        "knn_raster": _knn_raster_oracle_sql(),
         "sessionize": _SESSIONIZE_ORACLE_SQL,
         "windowed_counts": (
             "SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, "
@@ -1364,6 +1629,8 @@ def oracle_sql() -> dict[str, str]:
             "'' AS \"user\", source FROM documents"
         ),
         "lineage_resume": _lineage_resume_oracle_sql(),
+        "snapshot_read": _snapshot_read_oracle_sql(),
+        "splitting_sink": _SPLITTING_SINK_ORACLE_SQL,
         "semi_join": (
             "SELECT c_custkey FROM customer WHERE EXISTS ("
             "SELECT 1 FROM orders WHERE o_custkey = c_custkey "

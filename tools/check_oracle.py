@@ -75,6 +75,16 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:>20}: rows={len(srows)} (rows-only, no oracle) {spark_s:.1f}s")
             continue
+        # gate-side decimal guard (round-2 sessionize finding): DuckDB
+        # HUGEINT/DECIMAL surfaces as decimal128 in Arrow-normalizing
+        # harnesses and hash-mismatches Spark's int64 even when fetchall()
+        # values compare equal — fail loudly here, not in the driver
+        oschema = con.execute(oracles[name]).fetch_arrow_table().schema
+        dec = [f"{f.name}:{f.type}" for f in oschema if "decimal" in str(f.type)]
+        if dec:
+            print(f"{name:>20}: FAIL decimal column(s) in oracle result: {dec}")
+            failures.append(name)
+            continue
         res = con.execute(oracles[name])
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
