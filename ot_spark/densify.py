@@ -135,9 +135,9 @@ def assign_split_ids(
     ``repartitionByRange(order_cols)`` gives globally range-ordered
     partitions (parallel sort), a per-partition count pass yields cumulative
     offsets (one tiny collect: #partitions rows), and row_number runs inside
-    each partition only.  The ranged frame is cached so the count pass and
-    the final pass see identical partitioning (range sampling is otherwise
-    re-evaluated per action)."""
+    each partition only.  The ranged frame is locally checkpointed so the
+    count pass and the final pass see identical partitioning (range sampling
+    is otherwise re-evaluated per action)."""
     cols = [F.col(c) for c in order_cols]
     if mode == "contract":
         w = Window.orderBy(*cols)
@@ -151,7 +151,12 @@ def assign_split_ids(
     ranged = kept.repartitionByRange(parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged.persist()
+    # localCheckpoint (not persist): pins the range-sampled partitioning so
+    # the count pass and the id pass see identical partitions, truncates
+    # lineage, and — unlike an un-unpersisted cache, which the CacheManager
+    # holds forever — its blocks are freed by the ContextCleaner once the
+    # frame is garbage collected (round-2 advice: cache leak).
+    ranged = ranged.localCheckpoint(eager=True)
     counts = sorted(
         (r["_pid"], r["n"])
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

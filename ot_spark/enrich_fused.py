@@ -30,7 +30,9 @@ from pyspark.sql.types import (
 from . import geom
 from .area_index import AreaIndex
 from .cells import grid_cell
-from .raster import RasterIndex, route_col
+from .raster import (
+    ROUTE_JOIN_THRESHOLD, RasterIndex, route_col, route_via_cell_join
+)
 from .s2h3 import h3ish_cell_ids, s2_cell_ids
 
 
@@ -71,19 +73,44 @@ def spatial_enrich(
     bc = sc.broadcast((border_payload, grids))
 
     # JVM-side masks: NULL border-cell for non-border rows, NULL raster for
-    # skip-flagged rows — Python loops only touch relevant rows
+    # skip-flagged rows — Python loops only touch relevant rows.  Both masks
+    # get the same scale fallbacks as the canonical operators: planet-scale
+    # border sets (>1000 cells) would inline ~10^5 literals into the plan
+    # (spatial_join.py's broadcast-membership path), and deep route CASE
+    # chains blow codegen past ROUTE_JOIN_THRESHOLD tiles (raster.py's
+    # cell-join path).
+    drop_cols = ["__single_key", "__e"]
     if border_cells:
-        border_cell = F.when(
-            F.col(cell_col).isin([int(c) for c in border_cells]), F.col(cell_col)
-        )
+        if len(border_cells) <= 1000:
+            is_border = F.col(cell_col).isin([int(c) for c in border_cells])
+        else:
+            border_df = spark.createDataFrame(
+                [(int(c), True) for c in border_cells],
+                f"{cell_col} long, __is_border boolean",
+            )
+            df = df.join(F.broadcast(border_df), cell_col, "left")
+            is_border = F.coalesce(F.col("__is_border"), F.lit(False))
+            drop_cols.append("__is_border")
+        border_cell = F.when(is_border, F.col(cell_col))
     else:
         border_cell = F.lit(None).cast("long")
     if raster_index is not None:
-        rid = route_col(raster_index, lat, lon)
+        if len(raster_index.tiles) <= ROUTE_JOIN_THRESHOLD:
+            df = df.withColumn("raster_id", route_col(raster_index, lat, lon))
+        else:
+            df = route_via_cell_join(
+                df, raster_index, lat_col, lon_col, "raster_id"
+            )
         if skip_col is not None:
-            rid = F.when(~F.coalesce(F.col(skip_col), F.lit(False)), rid)
+            df = df.withColumn(
+                "raster_id",
+                F.when(
+                    ~F.coalesce(F.col(skip_col), F.lit(False)),
+                    F.col("raster_id"),
+                ),
+            )
     else:
-        rid = F.lit(None).cast("string")
+        df = df.withColumn("raster_id", F.lit(None).cast("string"))
 
     fields = [
         StructField("border_key", StringType()),
@@ -158,7 +185,6 @@ def spatial_enrich(
     # nondeterministic marker: a downstream projection of a SUBSET of __e
     # fields lets column pruning clone the UDF once per field otherwise
     enrich_nd = enrich.asNondeterministic()
-    df = df.withColumn("raster_id", rid)
     df = df.withColumn(
         "__e", enrich_nd(border_cell, F.col("raster_id"), lon, lat)
     )
@@ -172,4 +198,4 @@ def spatial_enrich(
         )
     for f_ in fields[2:]:
         df = df.withColumn(f_.name, F.col(f"__e.{f_.name}"))
-    return df.drop("__single_key", "__e")
+    return df.drop(*drop_cols)

@@ -385,21 +385,30 @@ def knn_nearest_raster(
 
     Adds ``knn_raster_id`` and ``knn_k`` (ring distance; NULL if nothing
     within max_k)."""
+    import math
+
     size = h3ish_size(res)
-    coverage: dict[tuple[int, int], tuple[float, str]] = {}
-    for t in raster_index.routing():
-        # hexes overlapping the bbox (pad by one hex so edge hexes count)
+    # covered hex == hex whose CENTER lies in the tile bbox padded by one
+    # hex size.  EXACT integer axial enumeration (center y = 1.5*size*r,
+    # x = sqrt(3)*size*(q + r/2)) — the previous 0.8*size meshgrid sampling
+    # could MISS covered hexes near edges and its tie-break depended on ring
+    # walk order; ties now break deterministically by (pixel area, tile
+    # order), tile order being the R-tree's finest-first stable sort.
+    coverage: dict[tuple[int, int], tuple[float, int, str]] = {}
+    sqrt3 = math.sqrt(3.0)
+    for order, t in enumerate(raster_index.routing()):  # finest-first
         lon0, lat0 = t["min_lon"] - size, t["min_lat"] - size
         lon1, lat1 = t["max_lon"] + size, t["max_lat"] + size
-        xs = np.arange(lon0, lon1, size * 0.8)
-        ys = np.arange(lat0, lat1, size * 0.8)
-        gx, gy = np.meshgrid(xs, ys)
-        qs, rs = _axial_from_xy(gx.ravel(), gy.ravel(), size)
         pix = t["pixel_w"] * t["pixel_h"]
-        for qq, rr in zip(qs.tolist(), rs.tolist()):
-            cur = coverage.get((qq, rr))
-            if cur is None or pix < cur[0]:
-                coverage[(qq, rr)] = (pix, t["raster_id"])
+        r_lo = math.ceil(lat0 / (1.5 * size))
+        r_hi = math.floor(lat1 / (1.5 * size))
+        for rr in range(r_lo, r_hi + 1):
+            q_lo = math.ceil(lon0 / (sqrt3 * size) - rr / 2.0)
+            q_hi = math.floor(lon1 / (sqrt3 * size) - rr / 2.0)
+            for qq in range(q_lo, q_hi + 1):
+                cur = coverage.get((qq, rr))
+                if cur is None or (pix, order) < cur[:2]:
+                    coverage[(qq, rr)] = (pix, order, t["raster_id"])
 
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(coverage)
@@ -421,10 +430,10 @@ def knn_nearest_raster(
             for k in range(max_k + 1):
                 for cq, cr in k_ring(qq, rr, k):
                     g = cov.get((cq, cr))
-                    if g is not None and (hit is None or g[0] < hit[0]):
+                    if g is not None and (hit is None or g[:2] < hit[:2]):
                         hit = g
                 if hit is not None:
-                    res_ = f"{k}|{hit[1]}"
+                    res_ = f"{k}|{hit[2]}"
                     break
             hex_cache[(qq, rr)] = res_
             return res_

@@ -56,8 +56,17 @@ def salted_agg(
     mins, maxs = mins or {}, maxs or {}
     salted = with_salt(df, n_salt, unique_col)
 
+    def _count_expr(c: Column) -> Column:
+        # count(col) counts NON-NULL — a boolean condition column would
+        # count its False rows too.  Detect boolean via analysis only (no
+        # job) and rewrite to count(when(cond, 1)).
+        from pyspark.sql.types import BooleanType
+
+        dt = salted.select(c.alias("__t")).schema[0].dataType
+        return F.when(c, 1) if isinstance(dt, BooleanType) else c
+
     partial = salted.groupBy(*keys, SALT_COL).agg(
-        *[F.count(c).alias(f"__c_{o}") for o, c in counts.items()],
+        *[F.count(_count_expr(c)).alias(f"__c_{o}") for o, c in counts.items()],
         *[F.sum(c).alias(f"__s_{o}") for o, c in sums.items()],
         *[F.min(c).alias(f"__mn_{o}") for o, c in mins.items()],
         *[F.max(c).alias(f"__mx_{o}") for o, c in maxs.items()],

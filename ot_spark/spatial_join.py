@@ -157,13 +157,22 @@ def admin_stats_df(
     latitudes before touching any counter (area.rs:368-370), and our
     grid_cell is NULL exactly there (and for NULL coords)."""
     border_cells = [int(c) for c in index.border_cells]
+    if len(border_cells) <= 1000:
+        in_border = F.col(cell_col).isin(border_cells)
+    else:
+        # same plan-size guard as the join path above: ~10^5 literal cells
+        # at planet scale -> broadcast membership join instead
+        border_df = df.sparkSession.createDataFrame(
+            [(c, True) for c in border_cells],
+            f"{cell_col} long, __is_border boolean",
+        )
+        df = df.join(F.broadcast(border_df), cell_col, "left")
+        in_border = F.coalesce(F.col("__is_border"), F.lit(False))
     return df.agg(
         F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
         F.count(
             F.when(F.col(out_col).isNull() & F.col(cell_col).isNotNull(), 1)
         ).alias("not_found"),
-        F.count(F.when(F.col(cell_col).isin(border_cells), 1)).alias(
-            "intersect_checks"
-        ),
+        F.count(F.when(in_border, 1)).alias("intersect_checks"),
         F.count(F.when(F.col(out_col).contains(","), 1)).alias("border_nodes"),
     )

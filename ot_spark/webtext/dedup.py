@@ -227,6 +227,13 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # exiting after max_iters with changed > 0 would silently return
+        # wrong labels for components of diameter > max_iters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iters "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels
 
 
@@ -297,18 +304,29 @@ def with_simhash(
     def tally(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in it:
             out = np.zeros(len(col), dtype=np.int64)
-            for row_i, arr in enumerate(col):
-                if arr is None or len(arr) == 0:
-                    continue
-                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                # +1/-1 tally; MUST leave uint64 first — unsigned 2*ones-n
+            # flattened-offsets formulation: one (total_tokens, 64) bit
+            # matrix for the whole batch, per-row +1/-1 sums via
+            # add.reduceat on row-start offsets — no Python row loop
+            arrs = [
+                (i, np.asarray(a, dtype=np.int64))
+                for i, a in enumerate(col)
+                if a is not None and len(a) > 0
+            ]
+            if arrs:
+                rows = np.array([i for i, _ in arrs], dtype=np.int64)
+                lens = np.array([len(a) for _, a in arrs], dtype=np.int64)
+                flat = np.concatenate([a for _, a in arrs]).astype(np.uint64)
+                bits = (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                # +1/-1 must happen in SIGNED space — unsigned 2*ones-n
                 # wraps past zero for minority bits and sets every bit
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
-                sim = np.uint64(0)
-                for b in np.nonzero(votes > 0)[0]:
-                    sim |= np.uint64(1) << np.uint64(b)
-                out[row_i] = sim.astype(np.int64)
+                signed = bits.astype(np.int64) * 2 - 1
+                starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+                votes = np.add.reduceat(signed, starts, axis=0)
+                sims = (
+                    ((votes > 0).astype(np.uint64))
+                    << np.arange(64, dtype=np.uint64)
+                ).sum(axis=1, dtype=np.uint64)
+                out[rows] = sims.astype(np.int64)
             yield pd.Series(out)
 
     return df.withColumn(
