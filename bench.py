@@ -33,20 +33,32 @@ def run_pipeline(spark, n_pages: int) -> tuple[float, int, list[float]]:
     neighbors (BENCH/BASELINE.md protocol) — warm up, then min-of-K."""
     import __spark_entry__ as entrymod
     from ot_spark import filters, parse
-    from ot_spark.benchdata import pages_range_df
+    from ot_spark.benchdata import GEN_VERSION, pages_range_df
     from ot_spark.enrich_fused import spatial_enrich
 
     idx = entrymod._admin_index()
     ridx = entrymod._raster_index()
     # scan a materialized parquet (the production shape — and the same
-    # input tools/scaling_bench.py measures), generating it once if absent
+    # input tools/scaling_bench.py measures), generating it once if absent.
+    # The default path carries the generator version so a stale file from an
+    # older pages_range_df is never silently reused; the write goes to a
+    # pid-unique temp dir + atomic rename so concurrent bench runs can't
+    # race the exists-then-write check.
     input_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_INPUT", f"/tmp/bench_pages_{n_pages}.parquet"
+        "SPARK_GRAFT_BENCH_INPUT",
+        f"/tmp/bench_pages_v{GEN_VERSION}_{n_pages}.parquet",
     )
     if not os.path.exists(input_path):
+        tmp = f"{input_path}.tmp-{os.getpid()}"
         pages_range_df(spark, n_pages, partitions=128).write.mode(
             "overwrite"
-        ).parquet(input_path)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, input_path)
+        except OSError:  # another run won the race; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     df = spark.read.parquet(input_path)
     df = parse.with_coordinates(df)
     df = filters.complex_filter(df)
@@ -114,6 +126,12 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    if errors:
+        # loud failure channel: the JSON line above always prints (the
+        # driver parses stdout), but CI / strict runs get a nonzero exit
+        print(f"BENCH ERRORS: {sorted(errors)}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            sys.exit(1)
 
 
 if __name__ == "__main__":

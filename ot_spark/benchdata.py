@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 
 from .pagesview import attrs_col, lat_col, lon_col
 
+# bump when the generated schema/content changes — bench.py keys its cached
+# input path on this so a stale file from an older generator is never reused
+GEN_VERSION = 1
+
 
 def pages_range_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """n synthetic pages. Coordinate placement: rows 0-4 (mod 10) embed

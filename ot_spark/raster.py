@@ -81,6 +81,18 @@ class RasterIndex:
             for t in self.tiles
         }
 
+    def unknown_crs_ids(self) -> list[str]:
+        """raster_ids whose CRS the transform layer cannot resolve — these
+        tiles yield NULL elevation; surfaced loudly via elevation_stats
+        instead of failing the stage or silently dropping (round-2 finding)."""
+        from .srs import epsg_supported
+
+        return [
+            t["raster_id"]
+            for t in self.tiles
+            if not epsg_supported(int(t.get("epsg", 4326)))
+        ]
+
 
 ROUTE_JOIN_THRESHOLD = 64  # above this, CASE-chain depth hurts codegen
 
@@ -194,6 +206,12 @@ def enrich_with_elevation(
                 m = rids == rid
                 epsg = g.get("epsg", 4326)
                 if epsg != 4326:
+                    from .srs import epsg_supported
+
+                    if not epsg_supported(epsg):
+                        # unknown CRS -> no value (counted as unknown_crs in
+                        # elevation_stats), never a stage failure
+                        continue
                     # projected tiff: WGS84 probe -> tiff CRS before the
                     # affine (geotiff.rs:77-93); pixel origin is in CRS units
                     from .srs import wgs84_to_epsg
@@ -235,25 +253,44 @@ def enrich_with_elevation(
 
 
 def elevation_stats_df(
-    df: DataFrame, out_col: str = "elev", skip_col: str | None = None
+    df: DataFrame,
+    out_col: str = "elev",
+    skip_col: str | None = None,
+    index: RasterIndex | None = None,
+    rid_col: str = "raster_id",
 ) -> DataFrame:
     """found / not-found / skipped counters (geotiff.rs:350-357) as a
-    one-row frame."""
+    one-row frame.  With ``index``, also counts rows routed to a tile whose
+    CRS the transform layer cannot resolve (loud, instead of the silent
+    NULL those rows get)."""
     skip = (
         F.coalesce(F.col(skip_col), F.lit(False)) if skip_col else F.lit(False)
+    )
+    unknown_ids = index.unknown_crs_ids() if index is not None else []
+    unknown = (
+        F.col(rid_col).isin(unknown_ids)
+        if unknown_ids and rid_col in df.columns
+        else F.lit(False)
     )
     return df.agg(
         F.count(F.when(F.col(out_col).isNotNull(), 1)).alias("found"),
         F.count(F.when(F.col(out_col).isNull() & ~skip, 1)).alias("not_found"),
         F.count(F.when(skip, 1)).alias("skipped"),
+        F.count(F.when(unknown, 1)).alias("unknown_crs"),
     )
 
 
-def elevation_stats(df: DataFrame, out_col: str = "elev", skip_col: str | None = None) -> dict:
+def elevation_stats(
+    df: DataFrame,
+    out_col: str = "elev",
+    skip_col: str | None = None,
+    index: RasterIndex | None = None,
+) -> dict:
     """found / not-found / skipped counters (geotiff.rs:350-357)."""
-    row = elevation_stats_df(df, out_col, skip_col).first()
+    row = elevation_stats_df(df, out_col, skip_col, index).first()
     return {
         "elevation_found_node_count": row.found,
         "elevation_not_found_node_count": row.not_found,
         "elevation_skipped_node_count": row.skipped,
+        "elevation_unknown_crs_node_count": row.unknown_crs,
     }

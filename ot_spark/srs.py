@@ -151,6 +151,122 @@ def webmercator_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
+# ------------------------------------------------------------- conic family
+# Lambert conformal conic (2SP) and Albers equal-area (2SP): the two most
+# common non-UTM DEM projections (national grids like Lambert-93, continental
+# mosaics like Conus Albers).  Formulas are Snyder, "Map Projections — A
+# Working Manual" (USGS PP 1395, 1987), eqs. 14-* and 15-* — public math,
+# same role as the reference's proj-backed transforms (geotiff.rs:77-93).
+
+
+def _snyder_m(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder 14-15: m = cosφ / sqrt(1 - e² sin²φ)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _snyder_t(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder 15-9: t = tan(π/4 - φ/2) / ((1-e sinφ)/(1+e sinφ))^(e/2)."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _snyder_q(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder 3-12: the equal-area auxiliary q."""
+    s = np.sin(phi)
+    return (1 - e * e) * (
+        s / (1 - (e * s) ** 2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _lcc_constants(p: dict) -> tuple[float, float, float, float, float]:
+    a, f = _ELLIPSOIDS[p["ellipsoid"]]
+    e = np.sqrt(f * (2 - f))
+    p1, p2, p0 = (np.radians(p[k]) for k in ("lat1", "lat2", "lat0"))
+    m1, m2 = _snyder_m(p1, e), _snyder_m(p2, e)
+    t1, t2, t0 = _snyder_t(p1, e), _snyder_t(p2, e), _snyder_t(p0, e)
+    if abs(p["lat1"] - p["lat2"]) > 1e-12:
+        n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    else:
+        n = np.sin(p1)
+    F_ = m1 / (n * t1**n)
+    rho0 = a * F_ * t0**n
+    return a, float(e), float(n), float(F_), float(rho0)
+
+
+def lcc2sp_forward(lat_deg, lon_deg, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Lambert conformal conic 2SP forward (Snyder 15-1..15-4)."""
+    a, e, n, F_, rho0 = _lcc_constants(p)
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    rho = a * F_ * _snyder_t(phi, e) ** n
+    theta = n * lam
+    x = p["fe"] + rho * np.sin(theta)
+    y = p["fn"] + rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def lcc2sp_inverse(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Lambert conformal conic 2SP inverse (Snyder 15-5..15-11 + 7-9)."""
+    a, e, n, F_, rho0 = _lcc_constants(p)
+    dx = np.asarray(x, dtype=np.float64) - p["fe"]
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.sign(n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    t = (rho / (a * F_)) ** (1.0 / n)
+    lam = theta / n + np.radians(p["lon0"])
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):  # Snyder 7-9 fixpoint; converges to <1e-12 rad
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    return np.degrees(phi), np.degrees(lam)
+
+
+def _albers_constants(p: dict) -> tuple[float, float, float, float, float]:
+    a, f = _ELLIPSOIDS[p["ellipsoid"]]
+    e = np.sqrt(f * (2 - f))
+    p1, p2, p0 = (np.radians(p[k]) for k in ("lat1", "lat2", "lat0"))
+    m1, m2 = _snyder_m(p1, e), _snyder_m(p2, e)
+    q1, q2, q0 = _snyder_q(p1, e), _snyder_q(p2, e), _snyder_q(p0, e)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    return a, float(e), float(n), float(C), float(rho0)
+
+
+def albers_forward(lat_deg, lon_deg, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Albers equal-area conic 2SP forward (Snyder 14-1..14-4)."""
+    a, e, n, C, rho0 = _albers_constants(p)
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    rho = a * np.sqrt(C - n * _snyder_q(phi, e)) / n
+    theta = n * lam
+    x = p["fe"] + rho * np.sin(theta)
+    y = p["fn"] + rho0 - rho * np.cos(theta)
+    return x, y
+
+
+def albers_inverse(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Albers equal-area conic 2SP inverse (Snyder 14-8..14-11, 3-16)."""
+    a, e, n, C, rho0 = _albers_constants(p)
+    dx = np.asarray(x, dtype=np.float64) - p["fe"]
+    dy = rho0 - (np.asarray(y, dtype=np.float64) - p["fn"])
+    rho = np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    q = (C - (rho * n / a) ** 2) / n
+    lam = theta / n + np.radians(p["lon0"])
+    phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+    for _ in range(8):  # Snyder 3-16 Newton; converges to <1e-12 rad
+        s = np.sin(phi)
+        es2 = 1 - (e * s) ** 2
+        phi = phi + es2 * es2 / (2 * np.cos(phi)) * (
+            q / (1 - e * e)
+            - s / es2
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.degrees(phi), np.degrees(lam)
+
+
 # ---------------------------------------------------------------- name->EPSG
 
 _UTM_RE = re.compile(
@@ -177,10 +293,44 @@ def name_to_epsg(name: str) -> int | None:
             return (32600 if hemi == "N" else 32700) + zone
         if datum == "ETRS89" and hemi == "N" and 28 <= zone <= 38:
             return 25800 + zone
+    conic = _CONIC_NAMES.get(s.upper())
+    if conic is not None:
+        return conic
     m2 = re.match(r"^EPSG:(\d+)$", s, re.IGNORECASE)
     if m2:
-        return int(m2.group(1))
+        # only pass through codes the transform layer actually supports —
+        # an unvalidated passthrough would surface as a stage failure inside
+        # the Arrow UDF instead of the documented unknown -> None
+        code = int(m2.group(1))
+        return code if epsg_supported(code) else None
     return None
+
+
+# Conic grids: parameters straight from the EPSG registry (public), keyed by
+# code — lat1/lat2 standard parallels, lat0/lon0 origin, false easting/northing
+_CONIC_EPSG: dict[int, dict] = {
+    # RGF93 / Lambert-93 — the French national grid (IGN DEMs)
+    2154: {"kind": "lcc2sp", "ellipsoid": "GRS80", "lat1": 49.0, "lat2": 44.0,
+           "lat0": 46.5, "lon0": 3.0, "fe": 700000.0, "fn": 6600000.0},
+    # ETRS89-extended / LCC Europe — EEA continental products
+    3034: {"kind": "lcc2sp", "ellipsoid": "GRS80", "lat1": 35.0, "lat2": 65.0,
+           "lat0": 52.0, "lon0": 10.0, "fe": 4000000.0, "fn": 2800000.0},
+    # NAD83 / Canada Atlas Lambert (NAD83 uses the GRS80 ellipsoid)
+    3978: {"kind": "lcc2sp", "ellipsoid": "GRS80", "lat1": 49.0, "lat2": 77.0,
+           "lat0": 49.0, "lon0": -95.0, "fe": 0.0, "fn": 0.0},
+    # NAD83 / Conus Albers — USGS national elevation mosaics
+    5070: {"kind": "albers", "ellipsoid": "GRS80", "lat1": 29.5, "lat2": 45.5,
+           "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0},
+}
+
+_CONIC_NAMES = {
+    "RGF93 / LAMBERT-93": 2154,
+    "RGF93 V1 / LAMBERT-93": 2154,
+    "ETRS89-EXTENDED / LCC EUROPE": 3034,
+    "ETRS89 / LCC EUROPE": 3034,
+    "NAD83 / CANADA ATLAS LAMBERT": 3978,
+    "NAD83 / CONUS ALBERS": 5070,
+}
 
 
 def epsg_params(epsg: int) -> dict | None:
@@ -196,7 +346,21 @@ def epsg_params(epsg: int) -> dict | None:
         return {"kind": "tm", "lon0": (epsg - 32700) * 6 - 183, "ellipsoid": "WGS84", "fn": FALSE_NORTHING_SOUTH}
     if 25828 <= epsg <= 25838:
         return {"kind": "tm", "lon0": (epsg - 25800) * 6 - 183, "ellipsoid": "GRS80", "fn": 0.0}
-    raise ValueError(f"unsupported EPSG:{epsg} (supported: 4326/4258/3857/UTM)")
+    if epsg in _CONIC_EPSG:
+        return _CONIC_EPSG[epsg]
+    raise ValueError(
+        f"unsupported EPSG:{epsg} (supported: 4326/4258/3857/UTM/"
+        f"{sorted(_CONIC_EPSG)})"
+    )
+
+
+def epsg_supported(epsg: int) -> bool:
+    """True when :func:`epsg_params` can resolve the code."""
+    try:
+        epsg_params(epsg)
+        return True
+    except ValueError:
+        return False
 
 
 def wgs84_to_epsg(lat, lon, epsg: int) -> tuple[np.ndarray, np.ndarray]:
@@ -208,6 +372,10 @@ def wgs84_to_epsg(lat, lon, epsg: int) -> tuple[np.ndarray, np.ndarray]:
         return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
     if p["kind"] == "webmercator":
         return webmercator_forward(lat, lon)
+    if p["kind"] == "lcc2sp":
+        return lcc2sp_forward(lat, lon, p)
+    if p["kind"] == "albers":
+        return albers_forward(lat, lon, p)
     return tm_forward(lat, lon, p["lon0"], p["ellipsoid"], fn=p["fn"])
 
 
@@ -218,6 +386,10 @@ def epsg_to_wgs84(x, y, epsg: int) -> tuple[np.ndarray, np.ndarray]:
         return np.asarray(y, dtype=np.float64), np.asarray(x, dtype=np.float64)
     if p["kind"] == "webmercator":
         return webmercator_inverse(x, y)
+    if p["kind"] == "lcc2sp":
+        return lcc2sp_inverse(x, y, p)
+    if p["kind"] == "albers":
+        return albers_inverse(x, y, p)
     return tm_inverse(x, y, p["lon0"], p["ellipsoid"], fn=p["fn"])
 
 

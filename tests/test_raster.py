@@ -94,6 +94,7 @@ def test_elevation_stats(spark, ridx):
         "elevation_found_node_count": 1,
         "elevation_not_found_node_count": 1,
         "elevation_skipped_node_count": 1,
+        "elevation_unknown_crs_node_count": 0,
     }
 
 
