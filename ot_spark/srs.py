@@ -267,6 +267,63 @@ def albers_inverse(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
     return np.degrees(phi), np.degrees(lam)
 
 
+def _laea_constants(p: dict) -> tuple[float, float, float, float, float, float]:
+    a, f = _ELLIPSOIDS[p["ellipsoid"]]
+    e = np.sqrt(f * (2 - f))
+    qp = float(_snyder_q(np.pi / 2, e))
+    q1 = float(_snyder_q(np.radians(p["lat0"]), e))
+    beta1 = np.arcsin(q1 / qp)
+    rq = a * np.sqrt(qp / 2.0)
+    m1 = float(_snyder_m(np.radians(p["lat0"]), e))
+    d = a * m1 / (rq * np.cos(beta1))
+    return a, float(e), qp, float(beta1), float(rq), float(d)
+
+
+def laea_forward(lat_deg, lon_deg, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Lambert azimuthal equal-area, oblique ellipsoidal (Snyder 24-2..24-8)."""
+    a, e, qp, beta1, rq, d = _laea_constants(p)
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - p["lon0"])
+    beta = np.arcsin(np.clip(_snyder_q(phi, e) / qp, -1.0, 1.0))
+    b = rq * np.sqrt(
+        2.0 / (1 + np.sin(beta1) * np.sin(beta)
+               + np.cos(beta1) * np.cos(beta) * np.cos(lam))
+    )
+    x = p["fe"] + b * d * np.cos(beta) * np.sin(lam)
+    y = p["fn"] + (b / d) * (
+        np.cos(beta1) * np.sin(beta) - np.sin(beta1) * np.cos(beta) * np.cos(lam)
+    )
+    return x, y
+
+
+def laea_inverse(x, y, p: dict) -> tuple[np.ndarray, np.ndarray]:
+    """LAEA inverse (Snyder 24-16..24-21 + the 3-16 Newton for φ from q)."""
+    a, e, qp, beta1, rq, d = _laea_constants(p)
+    dx = (np.asarray(x, dtype=np.float64) - p["fe"]) / d
+    dy = (np.asarray(y, dtype=np.float64) - p["fn"]) * d
+    rho = np.hypot(dx, dy)
+    ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore"):
+        q = qp * (
+            np.cos(ce) * np.sin(beta1)
+            + np.where(rho == 0, 0.0, dy * np.sin(ce) * np.cos(beta1) / rho)
+        )
+    lam = np.arctan2(
+        dx * np.sin(ce),
+        rho * np.cos(beta1) * np.cos(ce) - dy * np.sin(beta1) * np.sin(ce),
+    )
+    phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+    for _ in range(8):  # Snyder 3-16 Newton
+        s = np.sin(phi)
+        es2 = 1 - (e * s) ** 2
+        phi = phi + es2 * es2 / (2 * np.cos(phi)) * (
+            q / (1 - e * e)
+            - s / es2
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.degrees(phi), np.degrees(lam) + p["lon0"]
+
+
 # ---------------------------------------------------------------- name->EPSG
 
 _UTM_RE = re.compile(
@@ -321,6 +378,9 @@ _CONIC_EPSG: dict[int, dict] = {
     # NAD83 / Conus Albers — USGS national elevation mosaics
     5070: {"kind": "albers", "ellipsoid": "GRS80", "lat1": 29.5, "lat2": 45.5,
            "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0},
+    # ETRS89-extended / LAEA Europe — the EU statistical grid (EEA rasters)
+    3035: {"kind": "laea", "ellipsoid": "GRS80",
+           "lat0": 52.0, "lon0": 10.0, "fe": 4321000.0, "fn": 3210000.0},
 }
 
 _CONIC_NAMES = {
@@ -328,6 +388,8 @@ _CONIC_NAMES = {
     "RGF93 V1 / LAMBERT-93": 2154,
     "ETRS89-EXTENDED / LCC EUROPE": 3034,
     "ETRS89 / LCC EUROPE": 3034,
+    "ETRS89-EXTENDED / LAEA EUROPE": 3035,
+    "ETRS89 / LAEA EUROPE": 3035,
     "NAD83 / CANADA ATLAS LAMBERT": 3978,
     "NAD83 / CONUS ALBERS": 5070,
 }
@@ -376,6 +438,8 @@ def wgs84_to_epsg(lat, lon, epsg: int) -> tuple[np.ndarray, np.ndarray]:
         return lcc2sp_forward(lat, lon, p)
     if p["kind"] == "albers":
         return albers_forward(lat, lon, p)
+    if p["kind"] == "laea":
+        return laea_forward(lat, lon, p)
     return tm_forward(lat, lon, p["lon0"], p["ellipsoid"], fn=p["fn"])
 
 
@@ -390,6 +454,8 @@ def epsg_to_wgs84(x, y, epsg: int) -> tuple[np.ndarray, np.ndarray]:
         return lcc2sp_inverse(x, y, p)
     if p["kind"] == "albers":
         return albers_inverse(x, y, p)
+    if p["kind"] == "laea":
+        return laea_inverse(x, y, p)
     return tm_inverse(x, y, p["lon0"], p["ellipsoid"], fn=p["fn"])
 
 

@@ -28,7 +28,7 @@ def test_lambert93_paris_golden():
     assert abs(y[0] - 6862035.26) < 0.5
 
 
-@pytest.mark.parametrize("code", [2154, 3034, 3978, 5070])
+@pytest.mark.parametrize("code", [2154, 3034, 3978, 5070, 3035])
 def test_conic_origin_anchor(code):
     # forward(lat0, lon0) must land exactly on (FE, FN) by construction
     p = srs.epsg_params(code)
@@ -44,6 +44,7 @@ def test_conic_origin_anchor(code):
         (3034, (35, 65), (-10, 30)),
         (3978, (42, 80), (-140, -55)),
         (5070, (25, 49), (-120, -75)),
+        (3035, (35, 70), (-10, 30)),
     ],
 )
 def test_conic_roundtrip(code, lat_rng, lon_rng):
@@ -77,16 +78,23 @@ def test_lcc_unit_scale_on_standard_parallels(code):
     assert _local_scale(code, p["lat2"], p["lon0"] - 1.0) == pytest.approx(1.0, abs=1e-6)
 
 
-def test_albers_preserves_area():
+@pytest.mark.parametrize(
+    "code,probes",
+    [
+        (5070, ((30.0, -100.0), (40.0, -90.0), (45.5, -80.0))),
+        (3035, ((40.0, -5.0), (52.0, 10.0), (60.0, 25.0))),
+    ],
+)
+def test_equal_area_projections_preserve_area(code, probes):
     # equal-area: |det J| == 1 against the ellipsoid area element, anywhere
-    p = srs.epsg_params(5070)
+    p = srs.epsg_params(code)
     a, f = srs._ELLIPSOIDS[p["ellipsoid"]]
     e = math.sqrt(f * (2 - f))
     h = 1e-7
-    for latd, lond in ((30.0, -100.0), (40.0, -90.0), (45.5, -80.0)):
-        x0, y0 = srs.wgs84_to_epsg(np.array([latd]), np.array([lond]), 5070)
-        xa, ya = srs.wgs84_to_epsg(np.array([latd + h]), np.array([lond]), 5070)
-        xb, yb = srs.wgs84_to_epsg(np.array([latd]), np.array([lond + h]), 5070)
+    for latd, lond in probes:
+        x0, y0 = srs.wgs84_to_epsg(np.array([latd]), np.array([lond]), code)
+        xa, ya = srs.wgs84_to_epsg(np.array([latd + h]), np.array([lond]), code)
+        xb, yb = srs.wgs84_to_epsg(np.array([latd]), np.array([lond + h]), code)
         det = abs((xa[0] - x0[0]) * (yb[0] - y0[0]) - (xb[0] - x0[0]) * (ya[0] - y0[0]))
         phi = math.radians(latd)
         s = math.sin(phi)
@@ -99,9 +107,11 @@ def test_albers_preserves_area():
 def test_conic_names_resolve():
     assert srs.name_to_epsg("RGF93 / Lambert-93") == 2154
     assert srs.name_to_epsg("ETRS89-extended / LCC Europe") == 3034
+    assert srs.name_to_epsg("ETRS89-extended / LAEA Europe") == 3035
     assert srs.name_to_epsg("NAD83 / Canada Atlas Lambert") == 3978
     assert srs.name_to_epsg("NAD83 / Conus Albers") == 5070
     assert srs.name_to_epsg("EPSG:2154") == 2154
+    assert srs.name_to_epsg("EPSG:3035") == 3035
 
 
 def test_epsg_passthrough_validates():

@@ -40,8 +40,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-INPUT = os.environ.get("SPARK_GRAFT_SCALE_INPUT", "/tmp/bench_pages_8000000.parquet")
+from ot_spark.benchdata import GEN_VERSION  # noqa: E402
+
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
+INPUT = os.environ.get(
+    "SPARK_GRAFT_SCALE_INPUT", f"/tmp/bench_pages_v{GEN_VERSION}_{N_PAGES}.parquet"
+)
 CORES_PER_EXEC = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 LO = int(os.environ.get("SPARK_GRAFT_EXEC_LO", "1"))
 HI = int(os.environ.get("SPARK_GRAFT_EXEC_HI", "4"))

@@ -30,8 +30,10 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
 LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
 HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "32"))
 RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "6"))
+from ot_spark.benchdata import GEN_VERSION  # noqa: E402
+
 PAGES_PARQUET = os.environ.get(
-    "SPARK_GRAFT_SCALE_INPUT", f"/tmp/bench_pages_{N_PAGES}.parquet"
+    "SPARK_GRAFT_SCALE_INPUT", f"/tmp/bench_pages_v{GEN_VERSION}_{N_PAGES}.parquet"
 )
 
 
