@@ -778,6 +778,29 @@ def q_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: binary PCM payload -> mapInPandas batch
+    decode (deterministic fake container; real codec path is a documented
+    stub) -> duration/RMS/ZCR features (rows-only)."""
+    from ot_spark.webtext.multimodal import make_fake_audio, with_audio_features
+
+    ids = [r.doc_id for r in
+           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where("doc_id < 100").select("doc_id").collect()]
+    rows = [
+        (int(i), make_fake_audio(8000, 4000 + int(i) % 7 * 500, seed=int(i)))
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = with_audio_features(df)
+    return out.select(
+        "doc_id",
+        F.col("aud_features.n_samples").alias("n_samples"),
+        F.round(F.col("aud_features.duration_sec"), 4).alias("duration_sec"),
+        F.round(F.col("aud_features.rms"), 4).alias("rms"),
+    )
+
+
 def _h3_axial_sql(res: int, lat: str = "lat", lon: str = "lon") -> tuple[str, str]:
     """Raw (un-rounded) axial coordinate SQL at ``res``, bit-identical to
     s2h3._axial_from_xy: the float constants are embedded via repr() (both
@@ -965,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_ids": q_minmax_ids,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "audio_features": q_audio_features,
     }
 
 

@@ -159,6 +159,26 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "warc_ts",
+    late_horizon: str = "1 hour",
+) -> DataFrame:
+    """Streaming EXACT dedup: the first occurrence of a key passes, every
+    later one is dropped — across micro-batches and restarts (the dedup
+    keys live in checkpointed state).
+
+    ``dropDuplicatesWithinWatermark`` bounds the state: a key is remembered
+    for ``late_horizon`` of event time, the window a crawl feed's
+    re-fetches actually arrive in; unbounded ``dropDuplicates`` state would
+    grow forever at 10^12 docs.  Content dedup = pass a content-hash column
+    (e.g. ``xxhash64(text)``) as the key."""
+    key_cols = key_cols or ["url"]
+    wm = stream.withWatermark(ts_col, late_horizon)
+    return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_to_memory(
     stream: DataFrame, name: str, checkpoint: str, complete: bool = False
 ) -> None:

@@ -9,6 +9,7 @@ is real and tested against a deterministic FAKE container format:
 
     b"FAKEIMG1" + width:int32le + height:int32le + pixel bytes (w*h, gray)
     b"FAKEVID1" + n_frames:int32le + frame payloads (each 16 bytes)
+    b"FAKEAUD1" + rate:int32le + n_samples:int32le + int16le PCM samples
 
 Feature extraction on the fake format is genuine numpy work (header parse,
 byte histograms, mean/std, frame sampling) — the exact batch shape a PIL/
@@ -30,6 +31,7 @@ from pyspark.sql.types import (
 
 FAKE_IMG_MAGIC = b"FAKEIMG1"
 FAKE_VID_MAGIC = b"FAKEVID1"
+FAKE_AUD_MAGIC = b"FAKEAUD1"
 
 IMG_FEATURE_SCHEMA = StructType(
     [
@@ -52,6 +54,108 @@ def make_fake_video(n_frames: int, seed: int) -> bytes:
     rng = np.random.RandomState(seed)
     frames = rng.randint(0, 256, n_frames * 16, dtype=np.uint8).tobytes()
     return FAKE_VID_MAGIC + struct.pack("<i", n_frames) + frames
+
+
+def make_fake_audio(rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    pcm = rng.randint(-2048, 2048, n_samples).astype("<i2").tobytes()
+    return FAKE_AUD_MAGIC + struct.pack("<ii", rate, n_samples) + pcm
+
+
+def _decode_audio(buf: bytes) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, int16 PCM)."""
+    if buf[:8] == FAKE_AUD_MAGIC:
+        rate, n = struct.unpack("<ii", buf[8:16])
+        pcm = np.frombuffer(buf, dtype="<i2", offset=16, count=n)
+        return rate, pcm
+    # STUB: real codec path — would be soundfile.read(io.BytesIO(buf))
+    raise NotImplementedError("real audio codecs unavailable in this environment")
+
+
+AUD_FEATURE_SCHEMA = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+
+def with_audio_features(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "aud_features"
+) -> DataFrame:
+    """mapInPandas batch decode: duration / RMS / zero-crossing rate per
+    clip — the shapes a real librosa/soundfile stage would produce."""
+    out_schema = StructType(df.schema.fields + [StructField(out_col, AUD_FEATURE_SCHEMA)])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf[payload_col]:
+                if buf is None:
+                    feats.append(None)
+                    continue
+                try:
+                    rate, pcm = _decode_audio(bytes(buf))
+                except NotImplementedError:
+                    feats.append(None)
+                    continue
+                x = pcm.astype(np.float64)
+                zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if len(x) > 1 else 0
+                feats.append(
+                    {
+                        "sample_rate": rate,
+                        "n_samples": int(len(x)),
+                        "duration_sec": len(x) / rate if rate else 0.0,
+                        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                        "zero_cross_rate": zc / max(len(x) - 1, 1),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    target_rate: int = 8000,
+    out_col: str = "resampled",
+) -> DataFrame:
+    """Integer-factor decimation with block-mean anti-aliasing (the real
+    version would swap in a polyphase resampler); output = float64 samples
+    at ~target_rate."""
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = []
+            for buf in pdf[payload_col]:
+                try:
+                    rate, pcm = (
+                        _decode_audio(bytes(buf)) if buf is not None else (0, None)
+                    )
+                except NotImplementedError:
+                    res.append(None)
+                    continue
+                if pcm is None or rate < target_rate or len(pcm) == 0:
+                    res.append(None)
+                    continue
+                k = max(rate // target_rate, 1)
+                x = pcm.astype(np.float64)
+                x = x[: (len(x) // k) * k]
+                res.append(x.reshape(-1, k).mean(axis=1).round(4).tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = res
+            yield pdf
+
+    return df.mapInPandas(work, out_schema)
 
 
 def _decode_image(buf: bytes) -> tuple[int, int, np.ndarray]:

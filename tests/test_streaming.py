@@ -104,3 +104,36 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "dedup_in")
+    ck = str(tmp_path / "ck3")
+    out = str(tmp_path / "dedup_out")
+
+    def pages(ids):
+        return spark.createDataFrame(
+            [(f"u{i % 50}",
+              f"2024-03-01 00:{i % 60:02d}:00") for i in ids],
+            "url string, ts_s string",
+        ).select("url", F.col("ts_s").cast("timestamp").alias("warc_ts"))
+
+    # micro-batch 1: ids 0..99 -> 50 distinct urls
+    pages(range(100)).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    st = streaming.stream_pages(spark, src, schema)
+    streaming.run_to_parquet(
+        streaming.dedup_stream(st, ["url"]), out, ck
+    )
+    assert spark.read.parquet(out).count() == 50
+
+    # micro-batch 2: ids 50..149 -> all urls seen before (u0..u49);
+    # dedup state must survive the new availableNow run via the checkpoint
+    pages(range(100, 200)).coalesce(1).write.mode("append").parquet(src)
+    st2 = streaming.stream_pages(spark, src, schema)
+    streaming.run_to_parquet(
+        streaming.dedup_stream(st2, ["url"]), out, ck
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 50
+    assert back.select("url").distinct().count() == 50

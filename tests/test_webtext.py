@@ -169,3 +169,36 @@ def test_video_frame_sampling(spark):
     )
     out = multimodal.sample_video_frames(df, every_k=4).first()
     assert len(out.frame_means) == 4
+
+
+def test_audio_features_and_resample(spark):
+    import numpy as np
+
+    rows = [
+        (0, multimodal.make_fake_audio(16000, 16000 * 2, seed=5)),  # 2s clip
+        (1, b"RIFF not a real wav"),  # real-codec stub -> None
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {
+        r.media_id: r.aud_features
+        for r in multimodal.with_audio_features(df).collect()
+    }
+    assert feats[0].sample_rate == 16000
+    assert feats[0].n_samples == 32000
+    assert abs(feats[0].duration_sec - 2.0) < 1e-9
+    assert 0 < feats[0].rms < 2048
+    assert 0 < feats[0].zero_cross_rate < 1
+    assert feats[1] is None and feats[2] is None
+
+    res = {
+        r.media_id: r.resampled
+        for r in multimodal.resample_audio(df, target_rate=8000).collect()
+    }
+    assert len(res[0]) == 16000  # 2s at 8 kHz
+    assert res[1] is None
+    # decimation preserves the DC level
+    rate, pcm = multimodal._decode_audio(
+        multimodal.make_fake_audio(16000, 16000 * 2, seed=5)
+    )
+    assert abs(np.mean(res[0]) - pcm.astype(np.float64).mean()) < 1e-6

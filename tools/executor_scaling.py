@@ -117,7 +117,9 @@ def run_level(n_exec: int) -> dict:
             if line.strip() == "ready":
                 break
             if not line:
-                raise SystemExit("worker died during warmup")
+                for q in procs:
+                    q.kill()
+                raise RuntimeError("worker died during warmup")
     release = time.time()
     for p in procs:
         p.stdin.write("go\n")
@@ -152,7 +154,18 @@ def main() -> None:
     lo_runs, hi_runs = [], []
     order = ([LO, HI] + [HI, LO] * 8)[: 2 * REPEATS]
     for lvl in order:
-        r = run_level(lvl)
+        # worker JVMs die spontaneously ~1/30 launches on this host
+        # (round-2 postmortem) — retry the whole level, never abort the
+        # artifact on one flaky child
+        for attempt in range(3):
+            try:
+                r = run_level(lvl)
+                break
+            except RuntimeError as exc:
+                print(f"level {lvl} attempt {attempt}: {exc}; retrying",
+                      file=sys.stderr)
+        else:
+            raise SystemExit(f"level {lvl} failed 3 attempts")
         print(r, file=sys.stderr)
         (lo_runs if lvl == LO else hi_runs).append(r)
     lo = max(lo_runs, key=lambda r: r["pages_per_sec"])

@@ -107,11 +107,31 @@ def server(cores: int) -> None:
         print(f"t {time.time() - t0:.3f}", flush=True)
 
 
+_PIN_BASE = {}  # level -> first host cpu of its disjoint pin range
+
+
+def _pin_prefix(cores: int) -> list[str]:
+    """CPU-affinity pin: a cluster executor is cgroup-capped to its core
+    budget — GC/JIT threads and the Python Arrow worker compete INSIDE
+    that budget.  Unpinned, a local[1] JVM free-rides those helpers on
+    idle host cores and inflates the low level's throughput (measured:
+    per-core pps 190k@1 -> 144k@4 unpinned), understating scaling.  Each
+    level gets a DISJOINT host-cpu range so the interleaved levels never
+    share caches.  Disable with SPARK_GRAFT_SCALE_NOPIN=1."""
+    if os.environ.get("SPARK_GRAFT_SCALE_NOPIN"):
+        return []
+    if cores not in _PIN_BASE:
+        _PIN_BASE[cores] = sum(_PIN_BASE)  # next cpu after assigned ranges
+    base = _PIN_BASE[cores]
+    return ["taskset", "-c", f"{base}-{base + cores - 1}"]
+
+
 def _spawn(cores: int) -> subprocess.Popen:
     env = dict(os.environ)
     env.setdefault("OT_SPARK_DRIVER_MEM", "8g")  # plenty; keeps GC steady
     p = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--server", str(cores)],
+        _pin_prefix(cores)
+        + [sys.executable, os.path.abspath(__file__), "--server", str(cores)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
         stderr=subprocess.DEVNULL, env=env,
     )
@@ -208,7 +228,12 @@ raster elevation -> sink) over the SAME {N_PAGES:,}-row deterministic
 pages parquet, at two local parallelism levels, one fresh JVM per level,
 both sessions alive simultaneously with runs INTERLEAVED N,4N,N,4N,...
 (host noise hits both levels alike), {warmup} warm-up rounds (tiered JIT),
-then {RUNS} measured rounds per level, MIN taken.
+then {RUNS} measured rounds per level, MIN taken.  Each level's JVM is
+CPU-PINNED (taskset) to exactly its core budget on a disjoint host-cpu
+range — the cgroup semantics of a real cluster executor, where GC/JIT
+threads and the Python Arrow worker compete inside the budget instead of
+free-riding on idle host cores (unpinned, the low level inflates ~20%
+and understates scaling).
 
 | level | cores | pages/sec (best) | run times (s) |
 |---|---|---|---|
