@@ -198,6 +198,20 @@ def q_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "raster_id", "elev")
 
 
+def q_elevation_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+J3: raster lookup through a PROJECTED tile (EPSG:3857) — the
+    WGS84 probe is forwarded to Web Mercator before the affine
+    (geotiff.rs:77-93, srs.py webmercator_forward).  The DuckDB oracle
+    re-derives the spherical-Mercator forward + affine + NoData in plain
+    SQL (radians/ln/tan), independently of srs.py."""
+    from ot_spark.raster import RasterIndex, enrich_with_elevation
+    from ot_spark.synth import gen_projected_tiles
+
+    df = pagesview.pages_df(spark, sf_dir)
+    out = enrich_with_elevation(df, RasterIndex.from_arrow(gen_projected_tiles()))
+    return out.select("doc_id", "raster_id", "elev")
+
+
 def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment interpolation (interpolate.rs:39-61): links between
     consecutive even-doc region points, posexplode(sequence) intermediates."""
@@ -257,15 +271,18 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs of a bounded doc subset."""
-    from ot_spark.webtext.dedup import jaccard_pairs
+    """Exact n-gram Jaccard in the PRODUCTION shape: MinHash-LSH candidate
+    pairs (bucketed groupBy(band, key), capped — no crossJoin anywhere in
+    the plan) -> exact 3-gram Jaccard verify.  The oracle re-derives both
+    the banding and the verify in SQL."""
+    from ot_spark.webtext.dedup import (
+        jaccard_pairs, minhash_candidate_pairs, with_minhash,
+    )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 60")
-    ids = docs.select(F.col("doc_id").alias("a"))
-    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where("a < b")
-    # unigram shingles: the synthetic docs are word salad from a shared
-    # vocabulary — token-set Jaccard is the non-vacuous overlap measure
-    return jaccard_pairs(docs, pairs, shingle_n=1, threshold=0.2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    sigs = with_minhash(docs, k=8, shingle_n=3, hash_mode="md5")
+    cand = minhash_candidate_pairs(sigs, bands=4, max_bucket=50)
+    return jaccard_pairs(docs, cand, shingle_n=3, threshold=0.2)
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +507,16 @@ def q_pip_admin_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "admin_key")
 
 
+def _write_query_cap(df: DataFrame) -> DataFrame:
+    """Bench-mode input cap for the write-twice integrity queries
+    (lineage_resume, snapshot_read): their bench cost is /tmp I/O of two
+    full materializations, not operator cost, and the page-cache churn
+    perturbs the queries timed after them (VERDICT r3).  bench.py sets the
+    env var; the correctness gate never does, so oracles see full data."""
+    cap = os.environ.get("SPARK_GRAFT_WRITE_QUERY_CAP")
+    return df.where(F.col("doc_id") < int(cap)) if cap else df
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 resumability: interrupted write (half the buckets) + resume must
     produce each row exactly once; returns per-bucket counts."""
@@ -499,7 +526,7 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/ot_gate_{os.getpid()}/lineage"
     shutil.rmtree(base, ignore_errors=True)
-    df = pagesview.pages_df(spark, sf_dir).select(
+    df = _write_query_cap(pagesview.pages_df(spark, sf_dir)).select(
         "doc_id", grid_cell(F.col("lat"), F.col("lon"), 1.0).alias("grid_cell")
     )
     out_dir, lin_path = f"{base}/out", f"{base}/lineage"
@@ -516,7 +543,7 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lin.write_with_lineage(
         df, out_dir, lin_path, key_cols=["doc_id"], snapshot=False
     )
-    back = spark.read.parquet(out_dir)
+    back = lin.read_current(spark, out_dir, lin_path)
     return back.groupBy(F.col(lin.BUCKET_COL).alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
@@ -950,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tiles": q_h3_tiles,
         "knn_raster": q_knn_raster,
         "elevation": q_elevation,
+        "elevation_projected": q_elevation_projected,
         "interpolate": q_interpolate,
         "split_threshold": q_split_threshold,
         "minhash": q_minhash,
@@ -1063,6 +1091,39 @@ FROM pts
 """
 
 
+def _elevation_projected_oracle_sql() -> str:
+    """Independent SQL re-derivation of the EPSG:3857 projected lookup:
+    spherical Mercator forward (x = R*radians(lon),
+    y = R*ln(tan(pi/4 + radians(lat)/2)), R = 6378137) -> affine in metres
+    (min_x=0, max_y=250000, 1 km pixels, 250x250) -> clip -> value
+    100 + px*0.25 + py*0.5 with NoData at flat index % 89 == 0.
+    FP safety pre-verified: every quantized 0.01-degree probe in the tile
+    sits >= 1.7e-4 pixels from the nearest boundary, and numpy vs DuckDB
+    px/py agree on all 200x200 of them."""
+    w = h = 250
+    x = "(6378137.0 * radians(lon))"
+    y = "(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)))"
+    px = f"least(greatest(CAST(floor(({x} - 0.0) / 1000.0) AS BIGINT), 0), {w - 1})"
+    py = f"least(greatest(CAST(floor((250000.0 - {y}) / 1000.0) AS BIGINT), 0), {h - 1})"
+    val = (
+        f"round(CAST(100.0 AS DOUBLE) + {px} * CAST(0.25 AS DOUBLE) "
+        f"+ {py} * CAST(0.5 AS DOUBLE), 2)"
+    )
+    contains = "lon >= 0.0 AND lon < 2.0 AND lat >= 0.0 AND lat < 2.0"
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {contains} THEN 'merc' END AS raster_id,
+       CASE WHEN {contains} THEN
+         CASE WHEN (({py}) * {w} + ({px})) % 89 = 0 THEN NULL ELSE {val} END
+       END AS elev
+FROM pts
+"""
+
+
 _INTERPOLATE_ORACLE_SQL = f"""
 WITH pts AS (
   SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
@@ -1109,15 +1170,18 @@ SELECT doc_id,
 FROM s
 """
 
-_JACCARD_ORACLE_SQL = f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id < 60),
-s AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN [''] ELSE toks END AS sh FROM t),
-e AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+def _jaccard_oracle_sql() -> str:
+    """LSH candidates (same banding CTE the lsh_bands oracle pins) ->
+    exact 3-gram Jaccard, thresholded on the UNROUNDED ratio."""
+    return _minhash_sig8_cte() + """,
+e AS (SELECT DISTINCT doc_id, unnest(sh) AS gsh FROM s),
 sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.a
+  JOIN e eb ON eb.doc_id = c.b AND ea.gsh = eb.gsh
+  GROUP BY c.a, c.b
 )
 SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
@@ -1549,7 +1613,7 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/ot_gate_{os.getpid()}/snapshot"
     shutil.rmtree(base, ignore_errors=True)
-    df = pagesview.pages_df(spark, sf_dir).select(
+    df = _write_query_cap(pagesview.pages_df(spark, sf_dir)).select(
         "doc_id", grid_cell(F.col("lat"), F.col("lon"), 1.0).alias("grid_cell")
     )
     out_dir, lin_path = f"{base}/out", f"{base}/lineage"
@@ -1592,13 +1656,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "elevation": _elevation_oracle_sql(),
+        "elevation_projected": _elevation_projected_oracle_sql(),
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
         "minhash": _MINHASH_ORACLE_SQL,
         "lsh_bands": _LSH_BANDS_ORACLE_SQL,
         "minhash_dedup": _MINHASH_DEDUP_ORACLE_SQL,
         "minhash_dedup_cc": _MINHASH_DEDUP_CC_ORACLE_SQL,
-        "ngram_jaccard": _JACCARD_ORACLE_SQL,
+        "ngram_jaccard": _jaccard_oracle_sql(),
         "quality": _quality_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "topk_cosine": _TOPK_COSINE_ORACLE_SQL,

@@ -286,6 +286,39 @@ def gen_raster_tiles() -> pa.Table:
     )
 
 
+def gen_projected_tiles() -> pa.Table:
+    """One synthetic tile declared in EPSG:3857 (Web Mercator) — exercises
+    the projected-raster lookup (geotiff.rs:77-93): WGS84 probe -> CRS
+    forward -> affine in CRS units.  Routing bbox stays WGS84
+    (lon [0,2) x lat [0,2)); the pixel grid lives in metres with its own
+    origin (min_x/max_y) and 1 km pixels.  Values follow raster_value so a
+    SQL oracle can re-derive them arithmetically; NoData at flat
+    indices % 89 == 0."""
+    width = height = 250
+    py, px = np.mgrid[0:height, 0:width]
+    vals = raster_value(px, py).astype(np.float64)
+    flat = vals.reshape(-1)
+    flat[::89] = NODATA
+    return pa.table(
+        {
+            "raster_id": pa.array(["merc"]),
+            "min_lon": pa.array([0.0], pa.float64()),
+            "min_lat": pa.array([0.0], pa.float64()),
+            "max_lon": pa.array([2.0], pa.float64()),
+            "max_lat": pa.array([2.0], pa.float64()),
+            "pixel_w": pa.array([1000.0], pa.float64()),
+            "pixel_h": pa.array([1000.0], pa.float64()),
+            "width": pa.array([width], pa.int32()),
+            "height": pa.array([height], pa.int32()),
+            "nodata": pa.array([NODATA], pa.float64()),
+            "epsg": pa.array([3857], pa.int32()),
+            "min_x": pa.array([0.0], pa.float64()),
+            "max_y": pa.array([250000.0], pa.float64()),
+            "values": pa.array([list(vals.reshape(-1))], pa.list_(pa.float64())),
+        }
+    )
+
+
 def write_fixture_dir(out_dir: str, n_pages: int = 4000, seed: int = SEED) -> dict[str, str]:
     """Materialize all fixture tables as parquet; returns name -> path."""
     os.makedirs(out_dir, exist_ok=True)

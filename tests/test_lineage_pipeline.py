@@ -47,18 +47,29 @@ def test_write_resume_identical(spark, enriched, tmp_path):
         f"{lineage.BUCKET_COL} < 7"
     ).drop(lineage.BUCKET_COL)
     lineage.write_with_lineage(first_half, out_b, lin_b, ["url"], n_buckets=16)
-    # crash leftovers: half of bucket 9's rows on disk, NOT in lineage
+    # crash leftovers: half of bucket 9's rows on disk under the crashed
+    # run's dir, NOT in lineage
     partial = lineage.with_bucket(enriched, n_buckets=16).where(
         f"{lineage.BUCKET_COL} = 9"
-    ).limit(10)
-    partial.write.partitionBy(lineage.BUCKET_COL).mode("append").parquet(out_b)
-    # resume with the FULL frame: completed buckets skipped, partial rewritten
+    ).limit(10).withColumn(lineage.RUN_COL, F.lit("crashedrun"))
+    partial.write.partitionBy(lineage.BUCKET_COL, lineage.RUN_COL).mode(
+        "append"
+    ).parquet(out_b)
+    # resume with the FULL frame: completed buckets skipped, partial bucket
+    # rewritten under the new run (the crashed files become orphans)
     info2 = lineage.write_with_lineage(enriched, out_b, lin_b, ["url"], n_buckets=16)
     assert info2["buckets_skipped"] > 0
 
-    a = _hash_table(spark.read.parquet(out_a), ["url"])
-    b = _hash_table(spark.read.parquet(out_b), ["url"])
+    a = _hash_table(lineage.read_current(spark, out_a, lin_a), ["url"])
+    b = _hash_table(lineage.read_current(spark, out_b, lin_b), ["url"])
     assert (a.h, a.n) == (b.h, b.n)
+
+    # the crashed run's files are orphans: invisible to reads, reclaimable
+    orphans = lineage.orphan_files(spark, out_b, lin_b)
+    assert orphans and all("crashedrun" in f for f in orphans)
+    assert lineage.remove_orphans(spark, out_b, lin_b) == len(orphans)
+    b2 = _hash_table(lineage.read_current(spark, out_b, lin_b), ["url"])
+    assert (b2.h, b2.n) == (a.h, a.n)
 
     # lineage audit: recomputed checksums agree
     bad = lineage.verify_against_lineage(spark, out_b, lin_b, ["url"])

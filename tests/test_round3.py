@@ -294,7 +294,7 @@ def test_audit_snapshot_catches_corruption(spark, tmp_path):
     out, lp = str(tmp_path / "out"), str(tmp_path / "lin")
     lin.write_with_lineage(df, out, lp, key_cols=["key"], n_buckets=4)
     # delete one bucket's files behind the table's back
-    victim = glob.glob(f"{out}/{lin.BUCKET_COL}=1/*.parquet")
+    victim = glob.glob(f"{out}/{lin.BUCKET_COL}=1/run=*/*.parquet")
     assert victim
     for f in victim:
         os.remove(f)
