@@ -111,3 +111,48 @@ def test_write_time_divergence_audit(spark, tmp_path):
         df, out, lp, key_cols=["key"], n_buckets=4, audit_input=True
     )
     assert info["buckets_written"] == 4
+
+
+# ------------------------------------------------- flagship plan regression
+
+def _formatted_plan(df) -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _node_count(plan: str, op: str) -> int:
+    """Distinct physical nodes of type ``op`` — 'formatted' mode prints
+    every node twice (tree + details), so raw .count() double-counts."""
+    import re
+
+    return len(set(re.findall(rf"(?<![A-Za-z]){op} \((\d+)\)", plan)))
+
+
+def test_flagship_plan_stays_fused(spark):
+    """VERDICT-r3 #8: the flagship pipeline's plan must stay one fused
+    map-only stage — zero shuffle exchanges before the sink and exactly ONE
+    Python boundary (the fused Arrow enricher).  A future change that adds
+    an exchange or lets column pruning clone the UDF into a second
+    ArrowEvalPython node fails here, not in the next round's bench."""
+    import __spark_entry__ as entrymod
+    from ot_spark import filters, parse
+    from ot_spark.benchdata import pages_range_df
+    from ot_spark.enrich_fused import spatial_enrich
+
+    df = pages_range_df(spark, 1000, partitions=4)
+    df = parse.with_coordinates(df)
+    df = filters.complex_filter(df)
+    df = filters.remove_tags(df)
+    out = spatial_enrich(df, entrymod._admin_index(), entrymod._raster_index())
+    plan = _formatted_plan(out)
+    shuffles = _node_count(plan, "Exchange")  # "Exchange (n)" = shuffle;
+    # broadcasts print as "BroadcastExchange (n)" and don't match
+    assert shuffles == 0, f"flagship grew a shuffle:\n{plan}"
+    assert _node_count(plan, "BatchEvalPython") == 0, "row-at-a-time Python UDF"
+    python_nodes = _node_count(plan, "ArrowEvalPython") + _node_count(
+        plan, "MapInPandas"
+    )
+    assert python_nodes == 1, (
+        f"expected exactly 1 Arrow node, got {python_nodes}:\n{plan}"
+    )

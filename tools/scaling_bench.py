@@ -94,6 +94,14 @@ def server(cores: int) -> None:
     """Child: one live session; each 'go' line on stdin runs the action once
     and prints the elapsed seconds — lets the parent interleave levels so
     host noise hits both equally."""
+    expect = os.environ.get("SPARK_GRAFT_EXPECT_AFFINITY")
+    if expect:
+        got = len(os.sched_getaffinity(0))
+        if got != int(expect):
+            raise SystemExit(
+                f"affinity mismatch: pinned for {expect} cpus but kernel "
+                f"granted {got} — taskset range clipped; fix LO/HI"
+            )
     from ot_spark.session import get_spark
 
     spark = get_spark(f"scaling_{cores}", parallelism=cores)
@@ -123,14 +131,32 @@ def _pin_prefix(cores: int) -> list[str]:
     if cores not in _PIN_BASE:
         _PIN_BASE[cores] = sum(_PIN_BASE)  # next cpu after assigned ranges
     base = _PIN_BASE[cores]
+    # disjoint ranges must FIT the host: with LO=8/HI=32 on a 32-cpu box
+    # the second range would be 8-39, which taskset silently clips to 24
+    # cpus — the high level then under-reports while the artifact claims
+    # exact pinning (round-3 advice).  Out-of-budget -> loud unpinned run.
+    n_host = os.cpu_count() or 0
+    if base + cores > n_host:
+        print(
+            f"WARN: pin range {base}-{base + cores - 1} exceeds host cpus "
+            f"({n_host}); running level {cores} UNPINNED — interpret "
+            f"scaling with care or lower SPARK_GRAFT_SCALE_LO/HI",
+            file=sys.stderr, flush=True,
+        )
+        return []
     return ["taskset", "-c", f"{base}-{base + cores - 1}"]
 
 
 def _spawn(cores: int) -> subprocess.Popen:
     env = dict(os.environ)
     env.setdefault("OT_SPARK_DRIVER_MEM", "8g")  # plenty; keeps GC steady
+    pin = _pin_prefix(cores)
+    if pin:
+        # server asserts it really got exactly this many cpus — catches
+        # silent taskset clipping instead of recording a bogus level
+        env["SPARK_GRAFT_EXPECT_AFFINITY"] = str(cores)
     p = subprocess.Popen(
-        _pin_prefix(cores)
+        pin
         + [sys.executable, os.path.abspath(__file__), "--server", str(cores)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
         stderr=subprocess.DEVNULL, env=env,
