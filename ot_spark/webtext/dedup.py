@@ -35,13 +35,38 @@ def tokens_col(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
 
+TOKENS_COL = "__tokens"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = TOKENS_COL) -> DataFrame:
+    """Materialize the token array as a bound column in its own Project.
+
+    Any expression that mentions the token array inside a higher-order
+    lambda (shingling, rolling window hashes, stopword filters) MUST
+    reference a bound attribute, not the regexp expression itself: Catalyst
+    inlines a non-attribute subexpression into the lambda body, so an
+    inline ``regexp_extract_all`` is re-run once per array element
+    (measured 9x on the shingle stage at sf0.1).  CollapseProject keeps
+    this Project because the tokenizer is non-cheap and multiply
+    referenced downstream (SPARK-36718); ``tests/test_round4.py`` pins the
+    single-evaluation plan shape."""
+    return df.withColumn(out_col, tokens_col(F.col(text_col)))
+
+
 def shingles_col(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-grams as strings; documents shorter than n tokens get
-    one shingle = the whole token sequence."""
+    one shingle = the whole token sequence.
+
+    ``tokens`` should be a bound column (see ``with_tokens``): it is
+    referenced inside the per-element lambda, and an unbound tokenizer
+    expression would be re-evaluated per element.  Formulated as
+    transform-with-index over the token array itself (slice + filter)
+    rather than ``sequence``+``slice`` — iterating the existing array
+    avoids allocating an index array per row (measured ~3x)."""
     joined = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        F.filter(
+            F.transform(tokens, lambda _t, i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
+            lambda _s, i: i <= F.greatest(F.size(tokens) - n, F.lit(0)),
         )
     )
     return F.when(F.size(tokens) > 0, joined).otherwise(F.array(F.lit("")))
@@ -85,9 +110,9 @@ def with_minhash(
     hash_mode: str = "xxhash",
     out_col: str = "minhash",
 ) -> DataFrame:
-    toks = tokens_col(F.col(text_col))
-    sh = shingles_col(toks, shingle_n)
-    return df.withColumn(out_col, minhash_signature(sh, k, hash_mode))
+    tok = with_tokens(df, text_col)
+    sh = shingles_col(F.col(TOKENS_COL), shingle_n)
+    return tok.withColumn(out_col, minhash_signature(sh, k, hash_mode)).drop(TOKENS_COL)
 
 
 def lsh_band_buckets(
@@ -166,9 +191,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with EXACT n-gram Jaccard over distinct
     shingle sets (the refine step after LSH)."""
-    sh = df.select(
+    sh = with_tokens(df.select(id_col, text_col), text_col).select(
         F.col(id_col),
-        shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("sh"),
+        shingles_col(F.col(TOKENS_COL), shingle_n).alias("sh"),
     )
     a = sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
     bt = sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"})

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
+from .dedup import TOKENS_COL, tokens_col, with_tokens
 
 # tiny deterministic stopword profiles (heuristic lang-id; a real system
 # would ship n-gram tables — same plumbing, bigger literals)
@@ -46,11 +46,27 @@ def predicted_lang(tokens: Column) -> Column:
 
 
 def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    return df.withColumn(out_col, predicted_lang(tokens_col(F.col(text_col))))
+    """Tokens and the five per-language scores are materialized as bound
+    columns before the argmax when-chain: the chain references each score
+    twice (condition + value), and ``predicted_lang`` over an inline
+    tokenizer re-runs the regexp ~10x per row (see ``with_tokens``)."""
+    tok = with_tokens(df, text_col)
+    score_cols = {
+        f"__sc_{lang}": F.size(F.filter(F.col(TOKENS_COL), lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    scored = tok.withColumns(score_cols)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        cond = F.col(f"__sc_{lang}") > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, F.col(f"__sc_{lang}")).otherwise(best_score)
+    return scored.withColumn(out_col, best_lang).drop(TOKENS_COL, *score_cols)
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    toks = tokens_col(text)
+def quality_features(text: Column, tokens: Column | None = None) -> dict[str, Column]:
+    toks = tokens_col(text) if tokens is None else tokens
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
@@ -71,8 +87,9 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    feats = quality_features(F.col(text_col))
-    out = df.withColumns(feats)
+    tok = with_tokens(df, text_col)
+    feats = quality_features(F.col(text_col), tokens=F.col(TOKENS_COL))
+    out = tok.withColumns(feats).drop(TOKENS_COL)
     # simple composite score in [0,1]: length-normalized, penalize
     # punctuation soup, reward alpha + stopword presence
     score = (
@@ -95,21 +112,41 @@ def rolling_fingerprints(
 
     ``hash_mode='md5'`` swaps the per-token xxhash64 for the first 15 md5
     hex chars as an integer — identical fold, DuckDB-reproducible
-    (list_reduce over the same values)."""
+    (list_reduce over the same values).
+
+    ``tokens`` should be a bound column (see ``with_tokens``) — it is
+    referenced once per window position."""
+    hashed = token_hashes(tokens, hash_mode)
+    return _rolling_over_hashes(hashed, window)
+
+
+def token_hashes(tokens: Column, hash_mode: str = "xxhash") -> Column:
+    """Per-token hash mod 2^31-1, computed ONCE per token.  Each token sits
+    in up to ``window`` overlapping spans; hashing inside the window fold
+    would re-hash it that many times (an 8x md5 tax in portable mode)."""
     from .dedup import _token_hash
 
+    return F.transform(
+        tokens, lambda t: F.pmod(_token_hash(t, hash_mode), F.lit(FP_PRIME))
+    )
+
+
+def _rolling_over_hashes(hashed: Column, window: int) -> Column:
+    # the index range is DELIBERATELY derived from size(hashed), not from a
+    # caller-supplied token count: two references to the hash array keep
+    # CollapseProject from inlining a materialized __thash column back into
+    # the per-window lambda (single-reference inlining re-hashes every
+    # token per window — measured quadratic, 3x slower than no
+    # materialization at all)
     def window_hash(i: Column) -> Column:
-        span = F.slice(tokens, i + 1, window)
+        span = F.slice(hashed, i + 1, window)
         return F.aggregate(
             span,
             F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(
-                acc * 31 + F.pmod(_token_hash(t, hash_mode), F.lit(FP_PRIME)),
-                F.lit(FP_PRIME),
-            ),
+            lambda acc, h: F.pmod(acc * 31 + h, F.lit(FP_PRIME)),
         )
 
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - window, F.lit(0)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hashed) - window, F.lit(0)))
     return F.transform(idx, window_hash)
 
 
@@ -117,12 +154,19 @@ def with_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8, hash_mode: str = "xxhash"
 ) -> DataFrame:
     """Winnowing-lite document fingerprint: min window hash (stable under
-    local edits) + full-content hash."""
-    toks = tokens_col(F.col(text_col))
-    fps = rolling_fingerprints(toks, window, hash_mode)
-    return df.withColumns(
+    local edits) + full-content hash.
+
+    Token hashes are materialized as a bound column before the window
+    fold — the fold references the hash array once per window position,
+    and an unbound expression would re-hash every token per window (see
+    ``with_tokens``)."""
+    hashed = with_tokens(df, text_col).withColumn(
+        "__thash", token_hashes(F.col(TOKENS_COL), hash_mode)
+    )
+    fps = _rolling_over_hashes(F.col("__thash"), window)
+    return hashed.withColumns(
         {
             "fingerprint_min": F.array_min(fps).cast("long"),
             "content_hash": F.md5(F.col(text_col)),
         }
-    )
+    ).drop(TOKENS_COL, "__thash")

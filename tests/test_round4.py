@@ -156,3 +156,41 @@ def test_flagship_plan_stays_fused(spark):
     assert python_nodes == 1, (
         f"expected exactly 1 Arrow node, got {python_nodes}:\n{plan}"
     )
+
+
+# -------------------------- tokenizer evaluates ONCE per row (round-4 perf)
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("build", ["minhash", "fingerprint", "langid", "quality"])
+def test_tokenizer_single_evaluation(spark, build):
+    """The token regexp must appear exactly once in the optimized plan.
+
+    Catalyst inlines single-referenced non-cheap expressions into
+    higher-order-function lambdas, where they are re-evaluated PER ARRAY
+    ELEMENT — an inline regexp_extract_all made the shingle stage 9x
+    slower and a single-referenced token-hash array made fingerprints
+    quadratic.  with_tokens/with_fingerprint materialize these as bound,
+    multiply-referenced columns; this pins that the Project survives
+    CollapseProject (SPARK-36718 semantics)."""
+    from ot_spark.webtext import dedup, textstats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    out = {
+        "minhash": lambda: dedup.with_minhash(df, hash_mode="md5"),
+        "fingerprint": lambda: textstats.with_fingerprint(df, hash_mode="md5"),
+        "langid": lambda: textstats.with_langid(df),
+        "quality": lambda: textstats.with_quality(df),
+    }[build]()
+    keep = "fingerprint_min" if build == "fingerprint" else out.columns[-1]
+    plan = _optimized_plan(out.select("doc_id", keep))
+    n = plan.count("regexp_extract_all")
+    assert n == 1, f"tokenizer evaluated {n} times in optimized plan:\n{plan}"
+    if build == "fingerprint":
+        # the pre-hashed token array must also stay materialized: exactly
+        # one md5 per token (plus one content-hash md5 over the raw text)
+        assert plan.count("md5") <= 3, f"token re-hash leaked into lambda:\n{plan}"
