@@ -669,15 +669,22 @@ def q_minhash_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer: driver mini-Lloyd on a deterministic sample,
-    JVM argmax assignment (rows-only: Lloyd isn't SQL-expressible; recall
-    pinned by tests/test_webtext.py)."""
-    from ot_spark.webtext.simsearch import train_ivf_centroids, with_ivf_cell
+    """IVF coarse quantizer in the ORACLE-PORTABLE mode: driver mini-Lloyd
+    on an md5-ordered sample with per-step rounding, JVM argmax assignment
+    over rounded dots.  The DuckDB oracle re-derives the ENTIRE training
+    (sample selection, init, 3 unrolled Lloyd iterations) plus the
+    assignment in SQL — see ``_ivf_oracle_sql``.  Production trainer
+    (xxhash sample, seeded RNG init) stays in
+    ``simsearch.train_ivf_centroids``; recall pinned by
+    tests/test_webtext.py."""
+    from ot_spark.webtext.simsearch import (
+        train_ivf_centroids_portable, with_ivf_cell,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = train_ivf_centroids(emb, n_centroids=8, sample=500, iters=3)
+    cents = train_ivf_centroids_portable(emb, n_centroids=8, sample=500, iters=3)
     return (
-        with_ivf_cell(emb, cents)
+        with_ivf_cell(emb, cents, round_p=9)
         .groupBy("ivf_cell")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )
@@ -1444,6 +1451,62 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 4
 """
 
 
+def _ivf_oracle_sql(n_centroids: int = 8, sample: int = 500, iters: int = 3,
+                    p: int = 9) -> str:
+    """Full re-derivation of the portable IVF quantizer in DuckDB: the
+    md5-ordered sample, first-k init, and every Lloyd iteration UNROLLED as
+    chained CTEs (assignment -> per-dim mean -> renormalize), then the
+    whole-table argmax assignment.  Per-step rounding to 1e-9 on BOTH
+    engines absorbs numpy-pairwise vs SQL-sequential summation drift (~1e-14)
+    — see ``train_ivf_centroids_portable``."""
+    norm = (
+        "list_transform({v}, x -> round(x / greatest("
+        "sqrt(list_dot_product({v}, {v})), 1e-12), %d))" % p
+    )
+    parts = [f"""
+WITH ivf_sample AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sidx,
+         {norm.format(v="CAST(embedding AS DOUBLE[])")} AS v
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {sample}
+),
+cent0 AS (SELECT sidx AS cid, v FROM ivf_sample WHERE sidx < {n_centroids})"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asg{i} AS (
+  SELECT s.v AS pv, c.cid,
+         row_number() OVER (PARTITION BY s.sidx
+                            ORDER BY round(list_dot_product(s.v, c.v), {p}) DESC,
+                                     c.cid) AS rk
+  FROM ivf_sample s CROSS JOIN cent{i - 1} c
+),
+mean{i} AS (
+  SELECT cid, list(round(mval, {p}) ORDER BY dim) AS mv FROM (
+    SELECT cid, dim, avg(val) AS mval FROM (
+      SELECT cid, generate_subscripts(pv, 1) AS dim, unnest(pv) AS val
+      FROM asg{i} WHERE rk = 1
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+),
+cent{i} AS (
+  SELECT c.cid,
+         CASE WHEN m.mv IS NULL THEN c.v
+              ELSE {norm.format(v="m.mv")} END AS v
+  FROM cent{i - 1} c LEFT JOIN mean{i} m USING (cid)
+)""")
+    parts.append(f"""
+SELECT ivf_cell, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+  SELECT e.vec_id, c.cid AS ivf_cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(
+                                CAST(e.embedding AS DOUBLE[]), c.v), {p}) DESC,
+                                     c.cid) AS rk
+  FROM embeddings e CROSS JOIN cent{iters} c
+) WHERE rk = 1 GROUP BY ivf_cell""")
+    return "".join(parts)
+
+
 def _fingerprint_oracle_sql() -> str:
     """Same rolling fold: h = md5-15-hex-int % p; window fp =
     fold((a, x) -> (a*31 + x) % p) seeded 0 via list_prepend."""
@@ -1736,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": _quality_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "topk_cosine": _TOPK_COSINE_ORACLE_SQL,
+        "ivf_cells": _ivf_oracle_sql(),
         "complex_filter": (
             f"SELECT doc_id FROM documents WHERE {pagesview.complex_filter_sql()} "
             "ORDER BY doc_id"

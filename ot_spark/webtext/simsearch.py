@@ -182,19 +182,76 @@ def train_ivf_centroids(
     return cent
 
 
+def train_ivf_centroids_portable(
+    df: DataFrame,
+    n_centroids: int = 8,
+    sample: int = 500,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_p: int = 9,
+) -> np.ndarray:
+    """Mini-Lloyd whose every step is reproducible in ANSI SQL (the
+    ``ivf_cells`` oracle re-derives it in DuckDB with unrolled iterations):
+
+    - sample   = the ``sample`` rows with smallest md5(id-as-string) — both
+      engines hash the identical decimal string;
+    - init     = the first ``n_centroids`` sample rows in that md5 order
+      (no RNG — numpy's MT19937 is not SQL-expressible);
+    - each update rounds the member mean to ``round_p`` decimals, then the
+      normalized centroid again — numpy's pairwise summation and SQL AVG
+      disagree only at ~1e-14, so rounding at 1e-9 makes the engines
+      bit-identical while leaving clustering quality untouched;
+    - assignments argmax over dots rounded to ``round_p`` (ties -> lowest
+      centroid index, = SQL ``ORDER BY dot DESC, cid``).
+
+    The un-suffixed ``train_ivf_centroids`` (xxhash sample + seeded RNG
+    init, no rounding) remains the production path."""
+    import hashlib
+
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__ord", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__ord")
+        .limit(sample)
+        .collect()
+    )
+    # defensive re-sort: collect() preserves the orderBy, but the contract
+    # (md5 of the decimal id string) is what the oracle replays
+    rows = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X = np.round(
+        X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12), round_p
+    )
+    cent = X[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(np.round(X @ cent.T, round_p), axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                mv = np.round(members.mean(axis=0), round_p)
+                cent[c] = np.round(mv / max(np.sqrt((mv * mv).sum()), 1e-12), round_p)
+    return cent
+
+
 def with_ivf_cell(
     df: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    round_p: int | None = None,
 ) -> DataFrame:
     """Assign nearest centroid via JVM dot-product argmax (greatest + CASE —
-    no UDF; n_centroids is small by construction)."""
+    no UDF; n_centroids is small by construction).  ``round_p`` rounds each
+    dot before the argmax — the oracle-portable mode (see
+    ``train_ivf_centroids_portable``)."""
     vec = F.col(vec_col).cast("array<double>")
     dots = [
         _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias(f"__d{i}")
         for i, c in enumerate(centroids)
     ]
+    if round_p is not None:
+        dots = [F.round(d, round_p).alias(f"__d{i}") for i, d in enumerate(dots)]
     tmp = df.select("*", *dots)
     best = F.lit(0)
     best_val = F.col("__d0")
