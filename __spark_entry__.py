@@ -341,6 +341,118 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (top-bigram mass + duplicate-token
+    fraction) — map-side Column algebra, zero shuffles."""
+    from ot_spark.webtext.textstats import with_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition(docs).select(
+        "doc_id", "n_bigrams", "top_bigram_n", "top_bigram_frac",
+        "dup_token_frac", "keep_repetition",
+    )
+
+
+def _repetition_oracle_sql() -> str:
+    # deferred f-string: _TOKS_SQL is defined further down the module
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+counts AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id AS top_doc, max(c) AS topc FROM counts GROUP BY 1)
+SELECT t.doc_id,
+  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(topc, 0) AS BIGINT) AS top_bigram_n,
+  round(CASE WHEN len(toks) > 1
+             THEN coalesce(topc, 0) / (len(toks) - 1) ELSE 0 END, 6)
+    AS top_bigram_frac,
+  round(CASE WHEN len(toks) > 0
+             THEN 1 - len(list_distinct(toks)) / len(toks) ELSE 0 END, 6)
+    AS dup_token_frac,
+  (CASE WHEN len(toks) > 1
+        THEN coalesce(topc, 0) / (len(toks) - 1) ELSE 0 END) <= 0.18
+    AND (CASE WHEN len(toks) > 0
+              THEN 1 - len(list_distinct(toks)) / len(toks) ELSE 0 END) <= 0.5
+    AS keep_repetition
+FROM t LEFT JOIN top ON t.doc_id = top.top_doc
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phones).  The corpus is synthetic
+    word-soup with no organic PII, so the gate INJECTS deterministic PII
+    derived from doc_id (identical string algebra on both engines) before
+    scrubbing — the oracle re-derives injection, counts, and replacement
+    in DuckDB, so the regex pipeline itself is what's compared."""
+    from ot_spark.webtext.scrub import with_pii_scrub
+
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" reach u"), d.cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 < 2,
+            F.concat(
+                F.lit(" call +431"),
+                F.lpad(((d * 37) % 1000000).cast("string"), 6, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.concat(
+            F.lit(" host 10."), (d % 200).cast("string"),
+            F.lit(".0."), ((d * 3) % 250).cast("string"),
+        ),
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", injected.alias("text"))
+    )
+    out = with_pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("text_scrubbed")).alias("scrub_md5"),
+    )
+
+
+def _pii_scrub_oracle_sql() -> str:
+    from ot_spark.webtext.scrub import PII_RULES
+
+    rules = dict((n, p) for n, p, _ in PII_RULES)
+    repl = dict((n, r) for n, _, r in PII_RULES)
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 < 2
+                 THEN ' call +431' ||
+                      lpad(CAST((doc_id * 37) % 1000000 AS VARCHAR), 6, '0')
+                 ELSE '' END
+         || ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+         || '.0.' || CAST((doc_id * 3) % 250 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{rules["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{rules["ipv4"]}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{rules["phone"]}')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{rules["email"]}', '{repl["email"]}', 'g'),
+        '{rules["ipv4"]}', '{repl["ipv4"]}', 'g'),
+        '{rules["phone"]}', '{repl["phone"]}', 'g')) AS scrub_md5
+FROM inj
+"""
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe hyperplane-LSH ANN top-10 (rows-only: result quality is
     pinned by tests/test_webtext.py recall assertions)."""
@@ -1067,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
         "lsh_ann": q_lsh_ann,
         "embedding_pairs": q_embedding_pairs,
         "complex_filter": q_complex_filter,
@@ -1833,6 +1947,8 @@ def oracle_sql() -> dict[str, str]:
         "split_ways": _split_ways_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "fingerprint": _fingerprint_oracle_sql(),
+        "repetition": _repetition_oracle_sql(),
+        "pii_scrub": _pii_scrub_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
         "embedding_pairs": _embedding_pairs_oracle_sql(),
         "filter_by_value": (

@@ -142,7 +142,16 @@ def write_with_lineage(
     # from a crashed run is re-written under the NEW run id and the crashed
     # files become unreferenced orphans (see remove_orphans).  Dynamic
     # overwrite keeps a same-run_id retry from duplicating its own files.
-    bucketed.withColumn(RUN_COL, F.lit(run_id)).write.option(
+    #
+    # hash-distribute on bucket before the partitioned write (Iceberg's
+    # write.distribution-mode=hash): without it every upstream task emits
+    # a file into every bucket dir — tasks x buckets small files, the
+    # classic partitioned-write explosion at 100 TB (and measurably most
+    # of this write's cost at gate scale).  One shuffle, one file per
+    # (bucket, run); AQE coalesces or skew-splits the write tasks.
+    bucketed.repartition(n_buckets, F.col(BUCKET_COL)).withColumn(
+        RUN_COL, F.lit(run_id)
+    ).write.option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(BUCKET_COL, RUN_COL).mode("overwrite").parquet(out_dir)
 

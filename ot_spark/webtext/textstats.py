@@ -170,3 +170,71 @@ def with_fingerprint(
             "content_hash": F.md5(F.col(text_col)),
         }
     ).drop(TOKENS_COL, "__thash")
+
+
+def bigrams_col(tokens: Column) -> Column:
+    """Strict adjacent word 2-grams, NOT distinct (repetition counting needs
+    multiplicity): position i pairs token i with token i+1, so a doc with
+    t tokens yields t-1 bigrams (0 for t < 2).  ``tokens`` must be a bound
+    column (see ``with_tokens``)."""
+    return F.filter(
+        F.transform(tokens, lambda _t, i: F.concat_ws(" ", F.slice(tokens, i + 1, 2))),
+        lambda _s, i: i <= F.size(tokens) - 2,
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    fraction of mass in the most-repeated bigram and the duplicate-token
+    fraction.  Heavily repetitive pages (boilerplate, keyword stuffing,
+    generation loops) are the canonical web-curation drop class.
+
+    Both metrics are pure map-side Column algebra: the top-bigram count is
+    a fold over the SORTED bigram array tracking the longest equal run —
+    no explode/groupBy, so the operator adds zero shuffles at 100 TB.
+    Line-based Gopher metrics (duplicate-line fraction) are omitted: the
+    corpus is single-line by construction and the plumbing would be the
+    same split+fold.
+
+    ``keep_repetition`` applies Gopher-ish thresholds (top bigram <= 0.18
+    of bigram mass, <= 50%% duplicate tokens)."""
+    tok = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    bg = bigrams_col(toks)
+    # longest equal run in sorted order == max multiplicity; struct fold
+    # (prev, run, best) finished by a max against the final run
+    run_best = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    out = tok.withColumns(
+        {
+            "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("long"),
+            "top_bigram_n": run_best.cast("long"),
+        }
+    )
+    n_toks = F.size(toks)
+    top_frac = F.when(
+        F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_toks > 0,
+        1.0 - F.size(F.array_distinct(toks)) / n_toks,
+    ).otherwise(F.lit(0.0))
+    return out.withColumns(
+        {
+            "top_bigram_frac": F.round(top_frac, 6),
+            "dup_token_frac": F.round(dup_frac, 6),
+            "keep_repetition": (top_frac <= 0.18) & (dup_frac <= 0.5),
+        }
+    ).drop(TOKENS_COL)

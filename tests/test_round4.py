@@ -194,3 +194,70 @@ def test_tokenizer_single_evaluation(spark, build):
         # the pre-hashed token array must also stay materialized: exactly
         # one md5 per token (plus one content-hash md5 over the raw text)
         assert plan.count("md5") <= 3, f"token re-hash leaked into lambda:\n{plan}"
+
+
+# ------------------------------------- Gopher-style repetition filter
+
+def test_repetition_metrics(spark):
+    from ot_spark.webtext.textstats import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # one bigram repeated 4x
+            (2, "a b c d e"),                          # all distinct
+            (3, ""),                                   # no tokens
+            (4, "one"),                                # single token, 0 bigrams
+            (5, "x y x y x y"),                        # alternating
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_repetition(df).collect()}
+    r1 = out[1]
+    assert (r1.n_bigrams, r1.top_bigram_n) == (4, 4)
+    assert r1.top_bigram_frac == 1.0 and r1.dup_token_frac == 0.8
+    assert not r1.keep_repetition
+    r2 = out[2]
+    assert (r2.n_bigrams, r2.top_bigram_n) == (4, 1)
+    assert r2.dup_token_frac == 0.0
+    # "a b c d e": top bigram frac 0.25 > 0.18 -> dropped by the Gopher
+    # threshold; short docs are the known false-positive class of this rule
+    assert r2.top_bigram_frac == 0.25 and not r2.keep_repetition
+    r3 = out[3]
+    assert (r3.n_bigrams, r3.top_bigram_n, r3.top_bigram_frac, r3.dup_token_frac) == (
+        0, 0, 0.0, 0.0,
+    )
+    assert r3.keep_repetition
+    r4 = out[4]
+    assert (r4.n_bigrams, r4.top_bigram_n) == (0, 0)
+    r5 = out[5]
+    # "x y" appears 3x, "y x" 2x of 5 bigrams
+    assert (r5.n_bigrams, r5.top_bigram_n) == (5, 3)
+    assert r5.dup_token_frac == round(1 - 2 / 6, 6)
+    assert not r5.keep_repetition
+
+
+# ------------------------------------------------------------- PII scrub
+
+def test_pii_scrub_patterns(spark):
+    from ot_spark.webtext.scrub import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk now"),
+            (2, "host 192.168.000.1 up"),
+            (3, "call +4915112345678 ok"),
+            (4, "clean text only"),
+            (5, "x@y.io and 10.0.0.1 and +123456789"),
+            (6, "not an ip 1.2.3 nor phone +12345678"),  # too few octets/digits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_pii_scrub(df).collect()}
+    assert out[1].text_scrubbed == "mail <EMAIL> now"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 0, 0)
+    assert out[2].text_scrubbed == "host <IP> up"
+    assert out[3].text_scrubbed == "call <PHONE> ok"
+    assert out[4].text_scrubbed == "clean text only"
+    assert out[5].text_scrubbed == "<EMAIL> and <IP> and <PHONE>"
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+    assert out[6].text_scrubbed == "not an ip 1.2.3 nor phone +12345678"
