@@ -232,6 +232,8 @@ def connected_components(
     m = min(neighbors(u) + [u]); small-star (on edges oriented larger ->
     smaller): every smaller neighbor and u itself are re-pointed at the
     min.  At fixpoint every edge is (node, component-min)."""
+    from pyspark.sql import Observation
+
     a, b = F.col(a_col), F.col(b_col)
     nodes = (
         pairs.select(a.alias("id"))
@@ -239,28 +241,33 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+
+    def _checkpoint_with_sig(edges: DataFrame) -> tuple[DataFrame, tuple]:
+        # the convergence signature (count + order-insensitive bit_xor —
+        # edges are distinct, so xor cancellation can't occur) piggybacks
+        # on the SAME job that materializes the checkpoint via observe():
+        # a separate .agg() action would re-scan the edge set once per
+        # round — at web scale that second pass is a full extra read of a
+        # multi-TB intermediate, per round
+        obs = Observation()
+        out = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+            ).alias("h"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["h"])
+
     # canonical orientation u > v; drop self-loops
-    e = (
+    e, sig = _checkpoint_with_sig(
         pairs.select(
             F.greatest(a, b).alias("u"), F.least(a, b).alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-
-    def _sig(edges: DataFrame) -> tuple:
-        # bit_xor: order-insensitive, ANSI-overflow-free set signature
-        # (edges are distinct, so xor cancellation can't occur)
-        r = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
-            ).alias("h"),
-        ).first()
-        return (r["n"], r["h"])
-
-    sig = _sig(e)
     for _ in range(max_iters):
         if sig[0] == 0:
             break
@@ -288,9 +295,8 @@ def connected_components(
             .unionByName(smins.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        new_sig = _sig(e)
+        e, new_sig = _checkpoint_with_sig(e)
         if new_sig == sig:
             break
         sig = new_sig
