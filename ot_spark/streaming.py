@@ -77,6 +77,29 @@ def enrich_stream(
     return out
 
 
+def enrich_stream_fused(
+    stream: DataFrame, admin_index, raster_index
+) -> DataFrame:
+    """The FULL flagship enricher on an unbounded input: coordinate parse
+    -> attribute filter -> tag projection -> fused Arrow spatial+raster
+    enrichment (PIP refine + elevation lookup in ONE mapInPandas node with
+    broadcast indexes).
+
+    Everything here is stateless — map-side projections plus one Arrow
+    node — so the batch operator graph is legal in Structured Streaming
+    UNCHANGED, and each micro-batch executes the same fused single-stage
+    plan the batch bench pins (zero shuffles, one Python node).
+    Batch/stream parity for the whole flagship is pinned by
+    tests/test_streaming.py::test_stream_fused_enrich_equals_batch."""
+    from . import parse
+    from .enrich_fused import spatial_enrich
+
+    out = parse.with_coordinates(stream)
+    out = filters.complex_filter(out)
+    out = filters.remove_tags(out)
+    return spatial_enrich(out, admin_index, raster_index)
+
+
 def windowed_cell_counts(
     stream: DataFrame,
     ts_col: str = "warc_ts",

@@ -137,3 +137,44 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 50
     assert back.select("url").distinct().count() == 50
+
+
+def test_stream_fused_enrich_equals_batch(spark, tmp_path):
+    """The WHOLE flagship pipeline (parse -> filter -> fused Arrow
+    spatial+raster enrich) on a file stream equals the batch result on the
+    same rows — mapInPandas with broadcast indexes is stateless, so the
+    operator graph carries over unchanged."""
+    import __spark_entry__ as entrymod
+    from ot_spark.benchdata import pages_range_df
+
+    src = str(tmp_path / "pages_fused")
+    batch_df = pages_range_df(spark, 600, partitions=2)
+    batch_df.coalesce(2).write.parquet(src)
+
+    stored = spark.read.parquet(src)
+    st = streaming.stream_pages(spark, src, stored.schema)
+    idx, ridx = entrymod._admin_index(), entrymod._raster_index()
+    enriched = streaming.enrich_stream_fused(st, idx, ridx)
+    streaming.run_to_memory(enriched, "fused_stream", str(tmp_path / "ckf"))
+
+    cols = [
+        c for c in spark.table("fused_stream").columns
+        if c in ("doc_id", "grid_cell", "admin_key", "elev", "raster_id")
+        or c.startswith(("s2_", "h3_"))
+    ]
+    assert "doc_id" in cols and len(cols) >= 5
+    # doc_id is unique — sort on it alone (other columns can be NULL)
+    got = sorted(
+        (tuple(r) for r in spark.table("fused_stream").select(*cols).collect()),
+        key=lambda t: t[cols.index("doc_id")],
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in streaming.enrich_stream_fused(stored, idx, ridx)
+            .select(*cols)
+            .collect()
+        ),
+        key=lambda t: t[cols.index("doc_id")],
+    )
+    assert got == want and len(got) > 0
