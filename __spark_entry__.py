@@ -804,15 +804,21 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInPandas batch
-    decode (deterministic fake container; real codec path is a documented
-    stub) -> typed feature struct (rows-only)."""
-    from ot_spark.webtext.multimodal import make_fake_image, with_image_features
+    decode -> typed feature struct.  The gate payload's pixels are a
+    CLOSED-FORM integer sequence (the real-codec path is still a
+    documented stub), so the DuckDB oracle re-derives width/height/mean
+    arithmetically per pixel while this side decodes the actual container
+    bytes through the real Arrow path — two independent routes to the
+    same numbers."""
+    from ot_spark.webtext.multimodal import (
+        make_fake_image_portable, with_image_features,
+    )
 
     ids = [r.doc_id for r in
            spark.read.parquet(f"{sf_dir}/documents.parquet")
            .where("doc_id < 100").select("doc_id").collect()]
     rows = [
-        (int(i), make_fake_image(8 + int(i) % 5, 6 + int(i) % 3, seed=int(i)))
+        (int(i), make_fake_image_portable(8 + int(i) % 5, 6 + int(i) % 3, seed=int(i)))
         for i in ids
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -823,6 +829,24 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("img_features.height").alias("height"),
         F.round(F.col("img_features.mean_px"), 4).alias("mean_px"),
     )
+
+
+_IMAGE_FEATURES_ORACLE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT doc_id,
+         avg(CAST((doc_id * 2654435761 + k * 2246822519) % 256 AS DOUBLE))
+           AS mp
+  FROM (SELECT doc_id, unnest(range(0, w * h)) AS k FROM dims)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       round(p.mp, 4) AS mean_px
+FROM dims d JOIN px p USING (doc_id)
+"""
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,15 +950,20 @@ def q_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio plumbing: binary PCM payload -> mapInPandas batch
-    decode (deterministic fake container; real codec path is a documented
-    stub) -> duration/RMS/ZCR features (rows-only)."""
-    from ot_spark.webtext.multimodal import make_fake_audio, with_audio_features
+    decode -> duration/RMS features.  Closed-form samples (see
+    q_image_features): the oracle recomputes RMS per-sample in SQL; the
+    sums of integer squares are < 2^53 so numpy's pairwise and SQL's
+    sequential summation are both exact and sqrt/round agree bit-for-bit.
+    Real codec path remains a documented stub."""
+    from ot_spark.webtext.multimodal import (
+        make_fake_audio_portable, with_audio_features,
+    )
 
     ids = [r.doc_id for r in
            spark.read.parquet(f"{sf_dir}/documents.parquet")
            .where("doc_id < 100").select("doc_id").collect()]
     rows = [
-        (int(i), make_fake_audio(8000, 4000 + int(i) % 7 * 500, seed=int(i)))
+        (int(i), make_fake_audio_portable(8000, 4000 + int(i) % 7 * 500, seed=int(i)))
         for i in ids
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -945,6 +974,25 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("aud_features.duration_sec"), 4).alias("duration_sec"),
         F.round(F.col("aud_features.rms"), 4).alias("rms"),
     )
+
+
+_AUDIO_FEATURES_ORACLE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4000 + (doc_id % 7) * 500 AS n
+  FROM documents WHERE doc_id < 100
+),
+s AS (
+  SELECT doc_id, avg(CAST(v * v AS DOUBLE)) AS msq FROM (
+    SELECT doc_id,
+           (doc_id * 2654435761 + k * 2246822519) % 4096 - 2048 AS v
+    FROM (SELECT doc_id, unnest(range(0, n)) AS k FROM dims)
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_samples,
+       round(d.n / 8000.0, 4) AS duration_sec,
+       round(sqrt(s.msq), 4) AS rms
+FROM dims d JOIN s USING (doc_id)
+"""
 
 
 def _h3_axial_sql(res: int, lat: str = "lat", lon: str = "lon") -> tuple[str, str]:
@@ -1903,6 +1951,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "elevation": _elevation_oracle_sql(),
         "elevation_projected": _elevation_projected_oracle_sql(),
+        "image_features": _IMAGE_FEATURES_ORACLE_SQL,
+        "audio_features": _AUDIO_FEATURES_ORACLE_SQL,
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
         "minhash": _MINHASH_ORACLE_SQL,

@@ -50,6 +50,37 @@ def make_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_IMG_MAGIC + struct.pack("<ii", width, height) + px
 
 
+# Weyl-style mixing constants (Knuth multiplicative / xxhash prime — public)
+_PORTABLE_C1 = 2654435761
+_PORTABLE_C2 = 2246822519
+
+
+def make_fake_image_portable(width: int, height: int, seed: int) -> bytes:
+    """Same container as ``make_fake_image`` but pixels come from a
+    CLOSED-FORM integer sequence, p_k = (seed*C1 + k*C2) mod 256, instead
+    of numpy's MT19937 — so a SQL oracle can re-derive every pixel (and
+    thus mean/std/hist) arithmetically while the Spark side still decodes
+    the actual bytes through the real mapInPandas path."""
+    px = bytes(
+        (seed * _PORTABLE_C1 + k * _PORTABLE_C2) % 256
+        for k in range(width * height)
+    )
+    return FAKE_IMG_MAGIC + struct.pack("<ii", width, height) + px
+
+
+def make_fake_audio_portable(rate: int, n_samples: int, seed: int) -> bytes:
+    """Closed-form int16 PCM, s_k = ((seed*C1 + k*C2) mod 4096) - 2048 —
+    see ``make_fake_image_portable``."""
+    pcm = np.array(
+        [
+            (seed * _PORTABLE_C1 + k * _PORTABLE_C2) % 4096 - 2048
+            for k in range(n_samples)
+        ],
+        dtype="<i2",
+    )
+    return FAKE_AUD_MAGIC + struct.pack("<ii", rate, n_samples) + pcm.tobytes()
+
+
 def make_fake_video(n_frames: int, seed: int) -> bytes:
     rng = np.random.RandomState(seed)
     frames = rng.randint(0, 256, n_frames * 16, dtype=np.uint8).tobytes()
