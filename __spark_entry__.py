@@ -383,6 +383,40 @@ FROM t LEFT JOIN top ON t.doc_id = top.top_doc
 """
 
 
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: pairs sharing >= 1 exact 8-token window
+    (bucketed by span, capped — no all-pairs anywhere)."""
+    from ot_spark.webtext.dedup import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dup_pairs(docs, window=8, max_bucket=50)
+
+
+def _substring_dup_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, win FROM (
+    SELECT doc_id,
+           -- starts 1..len-7 (range() excludes its stop): len-7 windows,
+           -- matching the Spark side's i <= size - 8 zero-based filter
+           unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS win
+    FROM t WHERE len(toks) >= 8
+  )
+),
+sizes AS (
+  SELECT win FROM w GROUP BY win
+  HAVING count(*) > 1 AND count(*) <= 50
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(count(*) AS BIGINT) AS shared_windows
+FROM w a JOIN w b USING (win) JOIN sizes USING (win)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails / IPv4 / phones).  The corpus is synthetic
     word-soup with no organic PII, so the gate INJECTS deterministic PII
@@ -1229,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
+        "substring_dup": q_substring_dup,
         "lsh_ann": q_lsh_ann,
         "embedding_pairs": q_embedding_pairs,
         "complex_filter": q_complex_filter,
@@ -1999,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_oracle_sql(),
         "repetition": _repetition_oracle_sql(),
         "pii_scrub": _pii_scrub_oracle_sql(),
+        "substring_dup": _substring_dup_oracle_sql(),
         "lsh_ann": _lsh_ann_oracle_sql(),
         "embedding_pairs": _embedding_pairs_oracle_sql(),
         "filter_by_value": (

@@ -516,3 +516,50 @@ def exact_dedup(
     h = df.withColumn("__h", F.md5(F.col(text_col)))
     keep = h.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """EXACT substring dedup (the Lee et al. 2021 "Deduplicating Training
+    Data" shape, public): document pairs sharing at least one exact
+    ``window``-token span, with the count of distinct shared spans.
+
+    Scale shape mirrors LSH: explode distinct window spans (map-side),
+    bucket by span, CAP pathological buckets (boilerplate spans shared by
+    > ``max_bucket`` docs are dropped — the quadratic-blowup guard), and
+    enumerate pairs only within buckets.  The join key here is the span
+    STRING itself (exact by definition, and the DuckDB oracle joins the
+    same strings); a production run at 100 TB would bucket on
+    xxhash64(span) and verify equality to keep shuffle keys fixed-width —
+    same plan shape, one extra verify column."""
+    tok = with_tokens(df.select(id_col, text_col), text_col)
+    toks = F.col(TOKENS_COL)
+    wins = F.filter(
+        F.transform(
+            toks, lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, window))
+        ),
+        lambda _s, i: i <= F.size(toks) - window,
+    )
+    w = tok.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("win")
+    )
+    sizes = (
+        w.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("win")
+    )
+    wb = w.join(sizes, "win")
+    a = wb.select("win", F.col(id_col).alias("a"))
+    b = wb.select("win", F.col(id_col).alias("b"))
+    return (
+        a.join(b, "win")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+    )

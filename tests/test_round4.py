@@ -261,3 +261,37 @@ def test_pii_scrub_patterns(spark):
     assert out[5].text_scrubbed == "<EMAIL> and <IP> and <PHONE>"
     assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
     assert out[6].text_scrubbed == "not an ip 1.2.3 nor phone +12345678"
+
+
+# ------------------------------------------------ exact substring dedup
+
+def test_substring_dup_pairs(spark):
+    from ot_spark.webtext.dedup import substring_dup_pairs
+
+    shared = "one two three four five six seven eight"          # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {shared} outro"),
+            (2, f"{shared} something else entirely here now"),
+            (3, "totally different words with no overlap at all kept long"),
+            (4, f"prefix junk {shared}"),
+            (5, "short doc"),                                    # < 8 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.a, r.b): r.shared_windows for r in substring_dup_pairs(df).collect()}
+    # docs 1, 2, 4 share exactly the one 8-token window; 3 and 5 pair with
+    # nobody
+    assert out == {(1, 2): 1, (1, 4): 1, (2, 4): 1}
+
+
+def test_substring_dup_bucket_cap(spark):
+    from ot_spark.webtext.dedup import substring_dup_pairs
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [(i, f"doc {i} says {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap excludes the 10-doc boilerplate bucket entirely
+    assert substring_dup_pairs(df, max_bucket=5).count() == 0
+    # without the cap the bucket yields C(10,2)=45 pairs
+    assert substring_dup_pairs(df, max_bucket=50).count() == 45
