@@ -295,3 +295,19 @@ def test_substring_dup_bucket_cap(spark):
     assert substring_dup_pairs(df, max_bucket=5).count() == 0
     # without the cap the bucket yields C(10,2)=45 pairs
     assert substring_dup_pairs(df, max_bucket=50).count() == 45
+
+
+# ------------------------- dedup family never degrades to all-pairs plans
+
+@pytest.mark.parametrize("qname", ["ngram_jaccard", "substring_dup", "minhash_dedup"])
+def test_dedup_plans_have_no_cartesian(spark, qname):
+    """VERDICT-r3 #7 acceptance, generalized: the candidate-pair queries
+    must stay bucketed — a future change that reintroduces a crossJoin
+    (CartesianProduct / BroadcastNestedLoopJoin) fails here, not in a
+    100 TB run."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[qname](spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert _node_count(plan, bad) == 0, f"{qname} grew {bad}:\n{plan}"
