@@ -148,8 +148,12 @@ def write_with_lineage(
     # a file into every bucket dir — tasks x buckets small files, the
     # classic partitioned-write explosion at 100 TB (and measurably most
     # of this write's cost at gate scale).  One shuffle, one file per
-    # (bucket, run); AQE coalesces or skew-splits the write tasks.
-    bucketed.repartition(n_buckets, F.col(BUCKET_COL)).withColumn(
+    # (bucket, run).  No explicit partition count: repartition(n, col) pins
+    # REPARTITION_BY_NUM, which disables AQE coalescing/skew-splitting on
+    # this exchange — column-only keeps it REPARTITION_BY_COL so AQE can
+    # rebalance straggler buckets; each bucket still hashes to exactly one
+    # reducer, preserving one file per (bucket, run).
+    bucketed.repartition(F.col(BUCKET_COL)).withColumn(
         RUN_COL, F.lit(run_id)
     ).write.option(
         "partitionOverwriteMode", "dynamic"

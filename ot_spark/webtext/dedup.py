@@ -125,7 +125,6 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Explode the signature into ``bands`` band-hash rows; equal
     (band, band_key) => LSH candidate bucket."""
-    k = bands  # rows per band derived from signature length at runtime
     sig = F.col(sig_col)
     rows_per_band = F.size(sig) / F.lit(bands)
     band_structs = F.transform(
@@ -524,19 +523,33 @@ def substring_dup_pairs(
     text_col: str = "text",
     window: int = 8,
     max_bucket: int = 50,
+    key_mode: str = "hash",
 ) -> DataFrame:
     """EXACT substring dedup (the Lee et al. 2021 "Deduplicating Training
     Data" shape, public): document pairs sharing at least one exact
     ``window``-token span, with the count of distinct shared spans.
 
     Scale shape mirrors LSH: explode distinct window spans (map-side),
-    bucket by span, CAP pathological buckets (boilerplate spans shared by
-    > ``max_bucket`` docs are dropped — the quadratic-blowup guard), and
-    enumerate pairs only within buckets.  The join key here is the span
-    STRING itself (exact by definition, and the DuckDB oracle joins the
-    same strings); a production run at 100 TB would bucket on
-    xxhash64(span) and verify equality to keep shuffle keys fixed-width —
-    same plan shape, one extra verify column."""
+    bucket by span key, CAP pathological buckets (boilerplate spans shared
+    by > ``max_bucket`` docs are dropped — the quadratic-blowup guard), and
+    enumerate pairs only within buckets.
+
+    ``key_mode`` picks the bucket key:
+
+    - ``"hash"`` (production default): xxhash64(span) — every shuffle
+      (bucket-size agg, bucket semi-join, pair join) keys on a FIXED-WIDTH
+      8-byte long instead of a ~50-byte span string, and pairs verify
+      ``span_a == span_b`` inside the bucket so a hash collision can never
+      emit a false pair.  The only collision effect is on the ``max_bucket``
+      cap (two colliding spans share one cap budget — p ~ n^2/2^64,
+      negligible even at 10^12 distinct spans it is rare and the cap is a
+      heuristic anyway).
+    - ``"span"``: the span string itself is the key — zero collision effect
+      on the cap; byte-for-byte the semantics the DuckDB oracle re-derives.
+
+    Both modes return identical pairs (the verify filter makes "hash"
+    exact), so the gate runs the production path against the span-join
+    oracle."""
     tok = with_tokens(df.select(id_col, text_col), text_col)
     toks = F.col(TOKENS_COL)
     wins = F.filter(
@@ -548,18 +561,33 @@ def substring_dup_pairs(
     w = tok.select(
         F.col(id_col), F.explode(F.array_distinct(wins)).alias("win")
     )
+    if key_mode == "hash":
+        w = w.withColumn("wk", F.xxhash64("win"))
+    elif key_mode == "span":
+        w = w.withColumn("wk", F.col("win"))
+    else:
+        raise ValueError(f"key_mode must be 'hash' or 'span', got {key_mode!r}")
     sizes = (
-        w.groupBy("win")
+        w.groupBy("wk")
         .agg(F.count(F.lit(1)).alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select("win")
+        .select("wk")
     )
-    wb = w.join(sizes, "win")
-    a = wb.select("win", F.col(id_col).alias("a"))
-    b = wb.select("win", F.col(id_col).alias("b"))
+    wb = w.join(sizes, "wk")
+    a = wb.select("wk", F.col("win").alias("win_a"), F.col(id_col).alias("a"))
+    b = wb.select("wk", F.col("win").alias("win_b"), F.col(id_col).alias("b"))
+    pairs = a.join(b, "wk").where(F.col("a") < F.col("b"))
+    if key_mode == "hash":
+        # span-equality verify, written as <=/>= ON PURPOSE: a literal
+        # win_a == win_b is extracted by ExtractEquiJoinKeys into the join
+        # keys, putting the ~50-byte span string back into the exchange's
+        # hashpartitioning — exactly what hash mode exists to avoid.  The
+        # range pair is semantically identical, stays a post-match join
+        # filter, and keeps the shuffle keyed on the 8-byte wk long.
+        pairs = pairs.where(
+            (F.col("win_a") <= F.col("win_b")) & (F.col("win_a") >= F.col("win_b"))
+        )
     return (
-        a.join(b, "win")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
     )

@@ -209,6 +209,13 @@ def train_ivf_centroids_portable(
     init, no rounding) remains the production path."""
     import hashlib
 
+    def _round_half_away(x: np.ndarray, p: int) -> np.ndarray:
+        # np.round is banker's (half-even); DuckDB ROUND and Spark F.round
+        # are half-away-from-zero — a value landing exactly on a 1e-9 half
+        # boundary would otherwise diverge between trainer and oracle
+        s = 10.0 ** p
+        return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
     rows = (
         df.select(id_col, vec_col)
         .withColumn("__ord", F.md5(F.col(id_col).cast("string")))
@@ -220,17 +227,19 @@ def train_ivf_centroids_portable(
     # (md5 of the decimal id string) is what the oracle replays
     rows = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
-    X = np.round(
+    X = _round_half_away(
         X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12), round_p
     )
     cent = X[:n_centroids].copy()
     for _ in range(iters):
-        assign = np.argmax(np.round(X @ cent.T, round_p), axis=1)
+        assign = np.argmax(_round_half_away(X @ cent.T, round_p), axis=1)
         for c in range(n_centroids):
             members = X[assign == c]
             if len(members):
-                mv = np.round(members.mean(axis=0), round_p)
-                cent[c] = np.round(mv / max(np.sqrt((mv * mv).sum()), 1e-12), round_p)
+                mv = _round_half_away(members.mean(axis=0), round_p)
+                cent[c] = _round_half_away(
+                    mv / max(np.sqrt((mv * mv).sum()), 1e-12), round_p
+                )
     return cent
 
 

@@ -23,33 +23,14 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(tokens: Column) -> dict[str, Column]:
-    return {
-        lang: F.size(
-            F.filter(tokens, lambda t: t.isin(words))
-        )
-        for lang, words in LANG_STOPWORDS.items()
-    }
-
-
-def predicted_lang(tokens: Column) -> Column:
-    """argmax over stopword-hit counts; ties -> alphabetical first; zero
-    hits -> 'und' (undetermined)."""
-    scores = lang_scores(tokens)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return best_lang
-
-
 def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Tokens and the five per-language scores are materialized as bound
+    """argmax over stopword-hit counts; ties -> alphabetical first; zero
+    hits -> 'und' (undetermined).
+
+    Tokens and the five per-language scores are materialized as bound
     columns before the argmax when-chain: the chain references each score
-    twice (condition + value), and ``predicted_lang`` over an inline
-    tokenizer re-runs the regexp ~10x per row (see ``with_tokens``)."""
+    twice (condition + value), and an inline-expression variant would
+    re-run the tokenizer regexp ~10x per row (see ``with_tokens``)."""
     tok = with_tokens(df, text_col)
     score_cols = {
         f"__sc_{lang}": F.size(F.filter(F.col(TOKENS_COL), lambda t: t.isin(words)))

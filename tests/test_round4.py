@@ -249,6 +249,9 @@ def test_pii_scrub_patterns(spark):
             (4, "clean text only"),
             (5, "x@y.io and 10.0.0.1 and +123456789"),
             (6, "not an ip 1.2.3 nor phone +12345678"),  # too few octets/digits
+            (7, "octets range-checked: 999.999.999.999 and 256.1.1.1"),
+            (8, "nanp (555) 123-4567 or 555.123.4567 or +1 555 123 4567"),
+            (9, "bare 5551234567 digits are not a phone"),
         ],
         "doc_id long, text string",
     )
@@ -261,6 +264,9 @@ def test_pii_scrub_patterns(spark):
     assert out[5].text_scrubbed == "<EMAIL> and <IP> and <PHONE>"
     assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
     assert out[6].text_scrubbed == "not an ip 1.2.3 nor phone +12345678"
+    assert out[7].n_ipv4 == 0
+    assert out[8].text_scrubbed == "nanp <PHONE> or <PHONE> or <PHONE>"
+    assert out[9].n_phone == 0
 
 
 # ------------------------------------------------ exact substring dedup
