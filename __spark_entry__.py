@@ -971,11 +971,15 @@ def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """h3ish res-7/9 encode + hierarchy rollup (rows-only)."""
-    from ot_spark.s2h3 import with_h3ish_cells
+    """TRUE-GEOMETRY icosahedral aperture-7 res-7/9 encode + hierarchy
+    rollup (north_star "H3 res-7/9"; ot_spark/h3x.py — gnomonic faces,
+    Class II/III lattices, integer digit chain; res-7 derived from res-9
+    by the H3 parent bit-truncation).  The oracle replays the whole
+    encode in DuckDB arithmetic (_h3x_tiles_oracle_sql)."""
+    from ot_spark.h3x import with_h3x_cells
 
     df = pagesview.pages_df(spark, sf_dir)
-    out = with_h3ish_cells(df, (7, 9))
+    out = with_h3x_cells(df, (7, 9))
     return out.groupBy("h3_7").agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.countDistinct("h3_9").cast("long").alias("n_children"),
@@ -1026,6 +1030,53 @@ SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_samples,
        round(d.n / 8000.0, 4) AS duration_sec,
        round(sqrt(s.msq), 4) AS rms
 FROM dims d JOIN s USING (doc_id)
+"""
+
+
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: binary frame container -> mapInPandas
+    every-k-th frame sampling -> per-frame mean, exploded to one row per
+    sampled frame.  Closed-form frame bytes (see q_image_features) let the
+    oracle re-derive each sampled frame's mean arithmetically.  A frame
+    mean is (sum of 16 uint8)/16 — exactly 4 decimal digits in binary —
+    so numpy's round(4) is the identity and both engines agree
+    bit-for-bit.  Real codec path remains a documented stub."""
+    from ot_spark.webtext.multimodal import (
+        make_fake_video_portable, sample_video_frames,
+    )
+
+    ids = [r.doc_id for r in
+           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where("doc_id < 100").select("doc_id").collect()]
+    rows = [
+        (int(i), make_fake_video_portable(3 + int(i) % 4, seed=int(i)))
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_video_frames(df, every_k=2)
+    return out.select(
+        "doc_id", F.posexplode("frame_means").alias("frame_idx", "frame_mean")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+_VIDEO_FEATURES_ORACLE_SQL = """
+WITH vids AS (
+  SELECT doc_id, 3 + doc_id % 4 AS n FROM documents WHERE doc_id < 100
+),
+samp AS (
+  SELECT doc_id, j, CAST(j // 2 AS INTEGER) AS frame_idx
+  FROM (SELECT doc_id, unnest(range(0, n)) AS j FROM vids)
+  WHERE j % 2 = 0
+)
+SELECT doc_id, frame_idx,
+       round(avg(CAST((doc_id * 2654435761 + (j * 16 + b) * 2246822519) % 256
+                      AS DOUBLE)), 4) AS frame_mean
+FROM (SELECT doc_id, j, frame_idx, unnest(range(0, 16)) AS b FROM samp)
+GROUP BY doc_id, frame_idx
 """
 
 
@@ -1138,30 +1189,165 @@ SELECT s2_{level}, CAST(count(*) AS BIGINT) AS n_pages FROM cells GROUP BY 1
 """
 
 
-def _h3_tiles_oracle_sql() -> str:
-    """Full independent SQL re-derivation of the h3ish res-7/9 rollup:
-    equirectangular axial transform, cube rounding (half-to-even), 56/28-bit
-    id packing — all in DuckDB arithmetic."""
-    q7, r7 = _h3_axial_sql(7)
-    q9, r9 = _h3_axial_sql(9)
-    rnd7, d7, qr7 = _h3_cube_round_cols("7")
-    rnd9, d9, qr9 = _h3_cube_round_cols("9")
+def _h3x_tiles_oracle_sql(res: int = 9, parent_res: int = 7) -> str:
+    """Full SQL re-derivation of the TRUE-GEOMETRY h3x encode
+    (ot_spark/h3x.py): lat/lon -> unit xyz -> nearest icosahedron face
+    (argmax of 12-dp-rounded dot products, 20-row inlined frame table) ->
+    gnomonic projection -> Class III res-9 hex lattice (9-dp portability
+    rounding, half-away cube rounding) -> NINE unrolled exact integer
+    up-aperture-7 steps collecting digits -> (base cell, rotation) from
+    the inlined 320-entry lookup table -> ccw digit rotation -> H3-layout
+    id packing; res-7 packed directly from the first 7 digits (identical
+    to the parent bit-truncation the Spark side uses).  Every scalar
+    constant is embedded via repr() from the very doubles numpy computed,
+    and each arithmetic step mirrors the numpy expression order, so both
+    engines walk the same doubles (residual 1-ulp libm trig differences
+    are absorbed by the 12-dp/9-dp spec roundings)."""
+    from ot_spark.h3x import oracle_constants
+
+    k = oracle_constants(res)
+    deg = repr(k["deg"])
+    faces_rows = ",\n  ".join(
+        "(" + ",".join([str(r[0])] + [repr(v) for v in r[1:]]) + ")"
+        for r in k["faces"]
+    )
+    table_rows = ",\n  ".join(str(t) for t in k["table"])
+
+    def rha(v: str) -> str:  # numpy _round_half_away: copysign(floor(|v|+0.5), v)
+        return (
+            f"(CASE WHEN ({v}) >= 0 THEN floor(({v}) + 0.5) "
+            f"ELSE -floor(0.5 - ({v})) END)"
+        )
+
+    # cube rounding in axial (i', j') coords — same tie-break chain as
+    # h3x._cube_round_2d, half-away so both engines agree
+    cube = f"""
+  SELECT doc_id, f,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS i9,
+    CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx - ry ELSE rz END AS BIGINT) AS j9
+  FROM (
+    SELECT *, abs(rx - fi) AS dx, abs(ry - (-fi - fj)) AS dy, abs(rz - fj) AS dz
+    FROM (
+      SELECT *, {rha('fi')} AS rx, {rha('(-fi - fj)')} AS ry, {rha('fj')} AS rz
+      FROM axial
+    )
+  )"""
+
+    # nine unrolled exact integer up-aperture-7 steps (h3x._up_step):
+    # odd child res -> variant A, even -> variant B; digit = unit offset
+    steps = []
+    prev = "cube"
+    carry = ""
+    for rr in range(res, 0, -1):
+        if rr % 2 == 1:
+            pi = rha(f"(3*i{rr} - j{rr})/7.0")
+            pj = rha(f"(i{rr} + 2*j{rr})/7.0")
+            ci, cj = "2*pi + pj", "-pi + 3*pj"
+        else:
+            pi = rha(f"(2*i{rr} + j{rr})/7.0")
+            pj = rha(f"(-i{rr} + 3*j{rr})/7.0")
+            ci, cj = "3*pi - pj", "pi + 2*pj"
+        steps.append(
+            f"u{rr} AS (\n"
+            f"  SELECT doc_id, f{carry},\n"
+            f"    CAST({pi} AS BIGINT) AS pi, CAST({pj} AS BIGINT) AS pj,\n"
+            f"    i{rr}, j{rr}\n  FROM {prev}\n)"
+        )
+        steps.append(
+            f"s{rr} AS (\n"
+            f"  SELECT doc_id, f{carry}, pi AS i{rr - 1}, pj AS j{rr - 1},\n"
+            f"    (CASE WHEN di = 0 AND dj = 0 THEN 0 "
+            f"WHEN di = -1 AND dj = -1 THEN 1 WHEN di = 0 AND dj = 1 THEN 2 "
+            f"WHEN di = -1 AND dj = 0 THEN 3 WHEN di = 1 AND dj = 0 THEN 4 "
+            f"WHEN di = 0 AND dj = -1 THEN 5 WHEN di = 1 AND dj = 1 THEN 6 END) AS d{rr}\n"
+            f"  FROM (SELECT *, i{rr} - ({ci}) AS di, j{rr} - ({cj}) AS dj FROM u{rr})\n)"
+        )
+        carry += f", d{rr}"
+        prev = f"s{rr}"
+    step_sql = ",\n".join(steps)
+    all_digits = ", ".join(f"d{rr}" for rr in range(1, res + 1))
+
+    # ccw digit rotation through the axis cycle I->IJ->J->JK->K->IK
+    # (h3x._rotate_digits): pos(d) then cyc[(pos + rot) % 6]
+    def rot_digit(d: str) -> str:
+        pos = (
+            f"(CASE {d} WHEN 4 THEN 0 WHEN 6 THEN 1 WHEN 2 THEN 2 "
+            f"WHEN 3 THEN 3 WHEN 1 THEN 4 ELSE 5 END)"
+        )
+        cyc = (
+            f"(CASE ({pos} + rot) % 6 WHEN 0 THEN 4 WHEN 1 THEN 6 "
+            f"WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 1 ELSE 5 END)"
+        )
+        return f"(CASE WHEN {d} = 0 THEN 0 ELSE {cyc} END)"
+
+    rot_cols = ", ".join(
+        f"{rot_digit(f'd{rr}')} AS e{rr}" for rr in range(1, res + 1)
+    )
+    fine_bits = " | ".join(
+        f"(CAST(e{rr} AS BIGINT) << {3 * (15 - rr)})" for rr in range(1, res + 1)
+    )
+    parent_bits = " | ".join(
+        f"(CAST(e{rr} AS BIGINT) << {3 * (15 - rr)})"
+        for rr in range(1, parent_res + 1)
+    )
+    fine_fill = (1 << (3 * (15 - res))) - 1
+    parent_fill = (1 << (3 * (15 - parent_res))) - 1
+
     return f"""
 WITH pts AS (
   SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
   FROM documents
-), raw AS (
-  SELECT doc_id, {q7} AS cq7, {r7} AS cr7, {q9} AS cq9, {r9} AS cr9 FROM pts
-), rnd AS (
-  SELECT *, {rnd7}, {rnd9} FROM raw
-), dd AS (
-  SELECT *, {d7}, {d9} FROM rnd
-), qr AS (
-  SELECT doc_id, {qr7}, {qr9} FROM dd
+), xyz AS (
+  SELECT doc_id,
+    cos(lat*{deg}) * cos(lon*{deg}) AS x,
+    cos(lat*{deg}) * sin(lon*{deg}) AS y,
+    sin(lat*{deg}) AS z
+  FROM pts
+), faces(f, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz) AS (VALUES
+  {faces_rows}
+), fsel AS (
+  SELECT * FROM (
+    SELECT xyz.*, faces.*,
+      row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round_even((x*cx + y*cy + z*cz) * 1000000000000.0, 0) DESC,
+                 f ASC
+      ) AS rn
+    FROM xyz CROSS JOIN faces
+  ) WHERE rn = 1
+), gno AS (
+  SELECT doc_id, f,
+    ((x/dd - cx)*exx + (y/dd - cy)*exy) + (z/dd - cz)*exz AS gx,
+    ((x/dd - cx)*eyx + (y/dd - cy)*eyy) + (z/dd - cz)*eyz AS gy
+  FROM (SELECT *, (x*cx + y*cy) + z*cz AS dd FROM fsel)
+), hexf AS (
+  SELECT doc_id, f,
+    round_even((hx0*{repr(k["rot_c"])} + hy0*{repr(k["rot_s"])}) * 1000000000.0, 0)
+      / 1000000000.0 AS hx,
+    round_even((-(hx0*{repr(k["rot_s"])}) + hy0*{repr(k["rot_c"])}) * 1000000000.0, 0)
+      / 1000000000.0 AS hy
+  FROM (SELECT doc_id, f, gx*{repr(k["scale"])} AS hx0, gy*{repr(k["scale"])} AS hy0
+        FROM gno)
+), axial AS (
+  SELECT doc_id, f, hx + 0.5*fj AS fi, fj
+  FROM (SELECT doc_id, f, hx, hy/{repr(k["half_sqrt3"])} AS fj FROM hexf)
+), cube AS ({cube}
+),
+{step_sql},
+bct(bf, bi, bj, bc, rot) AS (VALUES
+  {table_rows}
+), withbc AS (
+  SELECT s1.doc_id, bct.bc, bct.rot, {all_digits}
+  FROM s1 JOIN bct ON s1.f = bct.bf AND s1.i0 = bct.bi AND s1.j0 = bct.bj
+), rotd AS (
+  SELECT doc_id, bc, {rot_cols} FROM withbc
 ), enc AS (
-  SELECT doc_id, {_h3_encode_sql(7, "7")} AS h3_7,
-         {_h3_encode_sql(9, "9")} AS h3_9
-  FROM qr
+  SELECT doc_id,
+    (CAST({res} AS BIGINT) << 52) | (CAST(bc AS BIGINT) << 45)
+      | {fine_bits} | {fine_fill} AS h3_9,
+    (CAST({parent_res} AS BIGINT) << 52) | (CAST(bc AS BIGINT) << 45)
+      | {parent_bits} | {parent_fill} AS h3_7
+  FROM rotd
 )
 SELECT h3_7, CAST(count(*) AS BIGINT) AS n_pages,
        CAST(count(DISTINCT h3_9) AS BIGINT) AS n_children
@@ -1289,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
     }
 
 
@@ -1975,7 +2162,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
-        "h3_tiles": _h3_tiles_oracle_sql(),
+        "h3_tiles": _h3x_tiles_oracle_sql(),
         "s2_tiles": _s2_tiles_oracle_sql(),
         "knn_raster": _knn_raster_oracle_sql(),
         "sessionize": _SESSIONIZE_ORACLE_SQL,
@@ -1988,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "elevation_projected": _elevation_projected_oracle_sql(),
         "image_features": _IMAGE_FEATURES_ORACLE_SQL,
         "audio_features": _AUDIO_FEATURES_ORACLE_SQL,
+        "video_features": _VIDEO_FEATURES_ORACLE_SQL,
         "interpolate": _INTERPOLATE_ORACLE_SQL,
         "split_threshold": _SPLIT_THRESHOLD_ORACLE_SQL,
         "minhash": _MINHASH_ORACLE_SQL,

@@ -81,6 +81,17 @@ def make_fake_audio_portable(rate: int, n_samples: int, seed: int) -> bytes:
     return FAKE_AUD_MAGIC + struct.pack("<ii", rate, n_samples) + pcm.tobytes()
 
 
+def make_fake_video_portable(n_frames: int, seed: int) -> bytes:
+    """Closed-form frame bytes p_k = (seed*C1 + k*C2) mod 256 over
+    n_frames*16 bytes — see ``make_fake_image_portable``; lets a SQL
+    oracle re-derive every sampled frame's mean arithmetically."""
+    fb = bytes(
+        (seed * _PORTABLE_C1 + k * _PORTABLE_C2) % 256
+        for k in range(n_frames * 16)
+    )
+    return FAKE_VID_MAGIC + struct.pack("<i", n_frames) + fb
+
+
 def make_fake_video(n_frames: int, seed: int) -> bytes:
     rng = np.random.RandomState(seed)
     frames = rng.randint(0, 256, n_frames * 16, dtype=np.uint8).tobytes()

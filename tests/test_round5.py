@@ -58,3 +58,25 @@ def test_substring_hash_mode_shuffles_fixed_width_keys(spark):
     for line in plan.splitlines():
         if "hashpartitioning(win" in line.replace(" ", ""):
             raise AssertionError(f"span-string shuffle key in plan:\n{line}")
+
+
+# --------------------------- video gate parity (VERDICT r4 Next #3)
+
+def test_video_portable_closed_form(spark):
+    """The portable video payload's sampled frame means must equal the
+    closed form the DuckDB oracle computes — and round(4) must be the
+    identity (mean of 16 uint8 has exactly 4 decimal digits)."""
+    import numpy as np
+
+    from ot_spark.webtext import multimodal
+
+    df = spark.createDataFrame(
+        [(0, multimodal.make_fake_video_portable(6, seed=4))],
+        "media_id long, payload binary",
+    )
+    out = multimodal.sample_video_frames(df, every_k=2).first()
+    k = np.arange(6 * 16).reshape(6, 16)
+    px = (4 * multimodal._PORTABLE_C1 + k * multimodal._PORTABLE_C2) % 256
+    exp = px[::2].mean(axis=1)
+    assert (exp.round(4) == exp).all()  # round is the identity
+    assert out.frame_means == exp.tolist()
