@@ -167,15 +167,22 @@ def write_with_lineage(
     # THIS run's subdirs == exactly the buckets this run committed.
     try:
         # _metadata is a hidden column: select it at the scan (it does not
-        # survive joins) so the lineage row can list its data files
+        # survive joins) so the lineage row can list its data files.
+        # Path-glob to THIS run's dirs (basePath recovers the partition
+        # cols): lists only the run's directories, and — essential once
+        # schema evolution exists — takes the footer schema from this
+        # run's files, not from an arbitrary older file whose columns may
+        # predate a rename/add.
         landed = (
-            spark.read.parquet(out_dir)
+            spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/{BUCKET_COL}=*/{RUN_COL}={run_id}")
             .select("*", F.col("_metadata.file_path").alias("__file"))
             .where(F.col(RUN_COL) == run_id)
         )
-    except AnalysisException:  # empty input wrote no files at all; any
-        # other read failure propagates (round-3 advice: a swallowed
-        # transient error silently recorded "nothing written")
+    except AnalysisException:  # empty input wrote no files at all (the
+        # glob matches nothing -> PATH_NOT_FOUND); any other read failure
+        # propagates (round-3 advice: a swallowed transient error silently
+        # recorded "nothing written")
         landed = None
     written = 0
     if landed is not None:
@@ -223,8 +230,12 @@ def write_with_lineage(
         write_table_properties(spark, out_dir, table_props)
     snap_id = None
     if snapshot and _lineage_exists(spark, lineage_path):
+        schema_id, spec_id = _register_metadata(
+            spark, out_dir, df, cell_col, n_buckets
+        )
         snap_id = _append_snapshot(
-            spark, out_dir, lineage_path, run_id, written, skipped
+            spark, out_dir, lineage_path, run_id, written, skipped,
+            schema_id, spec_id,
         )
     return {
         "run_id": run_id,
@@ -246,6 +257,8 @@ def write_with_lineage(
 
 SNAPSHOTS_SUBDIR = "_snapshots"
 MANIFESTS_SUBDIR = "_manifests"
+SCHEMAS_SUBDIR = "_schemas"
+SPECS_SUBDIR = "_specs"
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -273,6 +286,8 @@ def _append_snapshot(
     run_id: str,
     written: int,
     skipped: int,
+    schema_id: int | None = None,
+    spec_id: int | None = None,
 ) -> int:
     parent = current_snapshot_id(spark, out_dir)
     snap_id = (parent or 0) + 1
@@ -293,11 +308,14 @@ def _append_snapshot(
         run_id,
         written,
         skipped,
+        schema_id,
+        spec_id,
     )]
     spark.createDataFrame(
         row,
         "snapshot_id long, parent_id long, ts long, operation string, "
-        "run_id string, buckets_written long, buckets_skipped long",
+        "run_id string, buckets_written long, buckets_skipped long, "
+        "schema_id long, spec_id long",
     ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}")
     return snap_id
 
@@ -308,15 +326,23 @@ def read_manifest(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFr
     )
 
 
-def _pinned_read(spark: SparkSession, out_dir: str, pins: DataFrame) -> DataFrame:
+def _pinned_read(
+    spark: SparkSession, out_dir: str, pins: DataFrame, merge: bool = False
+) -> DataFrame:
     """Data restricted to the (bucket, run) pairs in ``pins`` — partition
     pruning makes this touch only the pinned directories; the run column is
-    dropped so reader-facing schema stays stable."""
+    dropped so reader-facing schema stays stable.  ``merge``: set when the
+    table has >1 schema version, so files written under different schemas
+    union their columns (otherwise Spark picks one file's footer and a
+    post-evolution column may silently vanish)."""
     pairs = pins.select(
         BUCKET_COL, F.col("run_id").alias(RUN_COL)
     ).distinct()
+    reader = spark.read
+    if merge:
+        reader = reader.option("mergeSchema", "true")
     return (
-        spark.read.parquet(out_dir)
+        reader.parquet(out_dir)
         .join(F.broadcast(pairs), [BUCKET_COL, RUN_COL], "left_semi")
         .drop(RUN_COL)
     )
@@ -324,18 +350,247 @@ def _pinned_read(spark: SparkSession, out_dir: str, pins: DataFrame) -> DataFram
 
 def read_current(spark: SparkSession, out_dir: str, lineage_path: str) -> DataFrame:
     """CURRENT table state: the (bucket, run) pairs the lineage table
-    records.  Orphaned files from crashed runs are invisible here."""
-    return _pinned_read(spark, out_dir, spark.read.parquet(lineage_path))
+    records.  Orphaned files from crashed runs are invisible here.  With a
+    schema log the result is projected to the CURRENT schema (renamed
+    fields resolve across their physical-name history; columns added since
+    a file was written null-fill)."""
+    cur = current_schema(spark, out_dir)
+    df = _pinned_read(
+        spark, out_dir, spark.read.parquet(lineage_path),
+        merge=cur is not None and _schema_versions(spark, out_dir) > 1,
+    )
+    if cur is None:
+        return df
+    sid, fields = cur
+    log_rows = schema_log(spark, out_dir).collect()
+    cands: dict[int, list[str]] = {}
+    for r in sorted(log_rows, key=lambda r: (r.schema_id, r.ord)):
+        lst = cands.setdefault(r.field_id, [])
+        if r.physical not in lst:
+            lst.append(r.physical)
+    return _project_to_schema(df, fields, cands)
 
 
 def read_as_of(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFrame:
     """Time-travel read: exactly the (bucket, run) directories committed as
     of ``snapshot_id``.  Committed run dirs are immutable, so this returns
     byte-identical CONTENT even after a later rewrite of the same bucket
-    (full Iceberg data-file pinning, not just membership)."""
-    return _pinned_read(
-        spark, out_dir, read_manifest(spark, out_dir, snapshot_id)
+    (full Iceberg data-file pinning, not just membership).
+
+    When the table has a schema log, the result is projected to the SCHEMA
+    RECORDED AT that snapshot (Iceberg: a snapshot references a schema-id):
+    columns added after it vanish, and a field renamed since still comes
+    back under its as-of name via field-id resolution."""
+    df = _pinned_read(
+        spark, out_dir, read_manifest(spark, out_dir, snapshot_id),
+        merge=_schema_versions(spark, out_dir) > 1,
     )
+    sch = _schema_as_of(spark, out_dir, snapshot_id)
+    return df if sch is None else _project_to_schema(df, *sch)
+
+
+# --------------------------------------- schema / partition-spec evolution
+# Iceberg tracks table schemas and partition specs as versioned metadata:
+# every field has a stable field-id; a snapshot references the schema-id and
+# spec-id current at commit; readers resolve columns by FIELD-ID, so renames
+# are metadata-only and added columns null-fill for files written before
+# them.  Without Iceberg jars we keep that model in two tiny parquet logs:
+#
+#   <out>/_schemas: (schema_id, ord, field_id, name, type, physical)
+#     ``physical`` is the column name as it appears in data files written
+#     while that schema was current — the field-id -> physical mapping IS
+#     the rename history, and reads coalesce a field across all of its
+#     physical names (the plain-parquet analog of field-id resolution).
+#   <out>/_specs: (spec_id, source, transform, n)
+#     Bucket-transform spec; changing the cell column or bucket count at
+#     write time appends a new spec (Iceberg partition-spec evolution:
+#     applies to NEW data only — old (bucket, run) dirs keep their layout,
+#     and reads are unaffected because membership is pinned per snapshot).
+#
+# Both logs are append-only and driver-readable (a handful of rows).
+
+
+def _read_meta(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — absent log
+        return None
+
+
+def schema_log(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    return _read_meta(spark, f"{out_dir}/{SCHEMAS_SUBDIR}")
+
+
+def partition_specs(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    return _read_meta(spark, f"{out_dir}/{SPECS_SUBDIR}")
+
+
+def _schema_versions(spark: SparkSession, out_dir: str) -> int:
+    log = schema_log(spark, out_dir)
+    if log is None:
+        return 0
+    return log.select("schema_id").distinct().count()
+
+
+def _write_schema(
+    spark: SparkSession, out_dir: str, schema_id: int, fields: list[tuple]
+) -> None:
+    """``fields``: ordered (field_id, name, type, physical) tuples."""
+    rows = [(schema_id, i, *f) for i, f in enumerate(fields)]
+    spark.createDataFrame(
+        rows,
+        "schema_id long, ord int, field_id long, name string, "
+        "type string, physical string",
+    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SCHEMAS_SUBDIR}")
+
+
+def current_schema(
+    spark: SparkSession, out_dir: str
+) -> tuple[int, list] | None:
+    """(schema_id, ordered field rows) of the latest schema, or None."""
+    log = schema_log(spark, out_dir)
+    if log is None:
+        return None
+    rows = log.collect()  # metadata scale: #versions x #fields rows
+    sid = max(r.schema_id for r in rows)
+    fields = sorted((r for r in rows if r.schema_id == sid), key=lambda r: r.ord)
+    return sid, fields
+
+
+def add_column(spark: SparkSession, out_dir: str, name: str, dtype: str) -> int:
+    """Schema evolution: append a column (new field-id).  Metadata-only —
+    existing data files are untouched; reads null-fill the column for files
+    written before it.  Returns the new schema_id."""
+    sid, fields = current_schema(spark, out_dir)
+    if any(f.name == name for f in fields):
+        raise ValueError(f"column {name!r} already exists")
+    nfid = max(f.field_id for f in fields) + 1
+    new = [(f.field_id, f.name, f.type, f.physical) for f in fields]
+    new.append((nfid, name, dtype, name))
+    _write_schema(spark, out_dir, sid + 1, new)
+    return sid + 1
+
+
+def rename_column(spark: SparkSession, out_dir: str, old: str, new: str) -> int:
+    """Schema evolution: rename a column KEEPING its field-id (Iceberg
+    renames are metadata-only).  Data files written before the rename keep
+    the old physical name; reads resolve the field across both.  Returns
+    the new schema_id."""
+    sid, fields = current_schema(spark, out_dir)
+    if not any(f.name == old for f in fields):
+        raise ValueError(f"no column {old!r}")
+    if any(f.name == new for f in fields):
+        raise ValueError(f"column {new!r} already exists")
+    nf = [
+        (f.field_id, new if f.name == old else f.name, f.type,
+         new if f.name == old else f.physical)
+        for f in fields
+    ]
+    _write_schema(spark, out_dir, sid + 1, nf)
+    return sid + 1
+
+
+def _register_metadata(
+    spark: SparkSession,
+    out_dir: str,
+    df: DataFrame,
+    cell_col: str,
+    n_buckets: int,
+) -> tuple[int, int]:
+    """Commit-time registration: initialize the schema from the written
+    frame on first commit; auto-append a schema version when the write
+    carries brand-new columns (Iceberg's accept-any-schema/mergeSchema
+    write mode); append a partition spec whenever (source, n) changes.
+    Returns (schema_id, spec_id) current for this commit."""
+    data_fields = [
+        f for f in df.schema.fields if f.name not in (BUCKET_COL, RUN_COL)
+    ]
+    cur = current_schema(spark, out_dir)
+    if cur is None:
+        sid = 0
+        _write_schema(
+            spark, out_dir, sid,
+            [(i + 1, f.name, f.dataType.simpleString(), f.name)
+             for i, f in enumerate(data_fields)],
+        )
+    else:
+        sid, fields = cur
+        known = {f.name for f in fields}
+        fresh = [f for f in data_fields if f.name not in known]
+        if fresh:
+            nfid = max(f.field_id for f in fields)
+            nf = [(f.field_id, f.name, f.type, f.physical) for f in fields]
+            for f in fresh:
+                nfid += 1
+                nf.append((nfid, f.name, f.dataType.simpleString(), f.name))
+            sid += 1
+            _write_schema(spark, out_dir, sid, nf)
+
+    specs = partition_specs(spark, out_dir)
+    if specs is None:
+        pid = 0
+        spark.createDataFrame(
+            [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
+            "spec_id long, source string, transform string, n long",
+        ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
+    else:
+        rows = specs.collect()
+        latest = max(rows, key=lambda r: r.spec_id)
+        pid = latest.spec_id
+        if (latest.source, latest.n) != (cell_col, n_buckets):
+            pid += 1
+            spark.createDataFrame(
+                [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
+                "spec_id long, source string, transform string, n long",
+            ).coalesce(1).write.mode("append").parquet(
+                f"{out_dir}/{SPECS_SUBDIR}"
+            )
+    return sid, pid
+
+
+def _schema_as_of(
+    spark: SparkSession, out_dir: str, snapshot_id: int
+) -> tuple[list, dict] | None:
+    """(ordered field rows of the snapshot's schema, field_id -> physical
+    name candidates across ALL versions), or None when the table predates
+    the schema log."""
+    snaps = snapshots(spark, out_dir)
+    if snaps is None or "schema_id" not in snaps.columns:
+        return None
+    row = snaps.where(F.col("snapshot_id") == snapshot_id).first()
+    if row is None or row.schema_id is None:
+        return None
+    log = schema_log(spark, out_dir)
+    if log is None:
+        return None
+    rows = log.collect()
+    fields = sorted(
+        (r for r in rows if r.schema_id == row.schema_id), key=lambda r: r.ord
+    )
+    cands: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.schema_id, r.ord)):
+        lst = cands.setdefault(r.field_id, [])
+        if r.physical not in lst:
+            lst.append(r.physical)
+    return fields, cands
+
+
+def _project_to_schema(df: DataFrame, fields: list, cands: dict) -> DataFrame:
+    """Field-id resolution on plain parquet: each schema field maps to the
+    data columns that ever carried it (rename history); missing everywhere
+    -> typed NULL (file written before the column existed)."""
+    cols = []
+    for f in fields:
+        present = [c for c in cands.get(f.field_id, []) if c in df.columns]
+        if not present:
+            cols.append(F.lit(None).cast(f.type).alias(f.name))
+        elif len(present) == 1:
+            cols.append(F.col(present[0]).alias(f.name))
+        else:
+            cols.append(F.coalesce(*[F.col(c) for c in present]).alias(f.name))
+    if BUCKET_COL in df.columns:  # partition column rides along for readers
+        cols.append(F.col(BUCKET_COL))
+    return df.select(*cols)
 
 
 def audit_snapshot(

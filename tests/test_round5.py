@@ -80,3 +80,78 @@ def test_video_portable_closed_form(spark):
     exp = px[::2].mean(axis=1)
     assert (exp.round(4) == exp).all()  # round is the identity
     assert out.frame_means == exp.tolist()
+
+
+# ------------------- Iceberg schema / partition-spec evolution (r4 Next #7)
+
+def test_iceberg_schema_evolution(spark, tmp_path):
+    """add_column + rename_column between commits: current reads resolve
+    the field across its rename (field-id semantics) and null-fill the
+    added column for pre-evolution files; time-travel returns the OLD
+    schema (no added column, pre-rename name)."""
+    from ot_spark import lineage as lin
+
+    out, lp = f"{tmp_path}/out", f"{tmp_path}/lin"
+    df1 = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("double").alias("grid_cell"),
+    )
+    info1 = lin.write_with_lineage(df1, out, lp, key_cols=["doc_id"], n_buckets=8)
+    assert info1["snapshot_id"] == 1
+
+    lin.add_column(spark, out, "lang", "string")
+    lin.rename_column(spark, out, "doc_id", "document_id")
+
+    df2 = spark.range(40, 80).select(
+        F.col("id").alias("document_id"),
+        (4 + F.col("id") % 4).cast("double").alias("grid_cell"),
+        F.lit("en").alias("lang"),
+    )
+    info2 = lin.write_with_lineage(
+        df2, out, lp, key_cols=["document_id"], n_buckets=8
+    )
+    assert info2["snapshot_id"] == 2 and info2["buckets_written"] == 4
+
+    cur = lin.read_current(spark, out, lp)
+    assert set(cur.columns) == {"document_id", "grid_cell", "lang", lin.BUCKET_COL}
+    assert cur.count() == 80
+    # lang null-fills exactly the pre-evolution files
+    assert cur.where(F.col("lang").isNull()).count() == 40
+    assert cur.where("document_id < 40 AND lang IS NOT NULL").count() == 0
+    # the renamed field resolves across both physical names
+    assert cur.agg(F.countDistinct("document_id")).first()[0] == 80
+
+    back = lin.read_as_of(spark, out, 1)
+    assert set(back.columns) == {"doc_id", "grid_cell", lin.BUCKET_COL}
+    assert back.count() == 40
+
+    # snapshot rows reference the schema current at their commit
+    snaps = {r.snapshot_id: r for r in lin.snapshots(spark, out).collect()}
+    assert snaps[1].schema_id == 0 and snaps[2].schema_id == 2
+
+
+def test_iceberg_partition_spec_evolution(spark, tmp_path):
+    """Changing the bucket count at write time appends a new spec (applies
+    to new data only); snapshots pin the spec in force at their commit."""
+    from ot_spark import lineage as lin
+
+    out, lp = f"{tmp_path}/out", f"{tmp_path}/lin"
+    df1 = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("double").alias("grid_cell"),
+    )
+    lin.write_with_lineage(df1, out, lp, key_cols=["doc_id"], n_buckets=8)
+    df2 = spark.range(20, 40).select(
+        F.col("id").alias("doc_id"),
+        (4 + F.col("id") % 4).cast("double").alias("grid_cell"),
+    )
+    lin.write_with_lineage(df2, out, lp, key_cols=["doc_id"], n_buckets=16)
+
+    specs = {r.spec_id: r for r in lin.partition_specs(spark, out).collect()}
+    assert specs[0].n == 8 and specs[1].n == 16
+    assert specs[1].transform == "bucket[16]"
+    snaps = {r.snapshot_id: r for r in lin.snapshots(spark, out).collect()}
+    assert snaps[1].spec_id == 0 and snaps[2].spec_id == 1
+    # old layout untouched, both snapshots readable
+    assert lin.read_as_of(spark, out, 1).count() == 20
+    assert lin.read_current(spark, out, lp).count() == 40
