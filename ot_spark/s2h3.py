@@ -11,13 +11,12 @@ numpy, vectorized over Arrow batches:
   any level.  Level-L ids satisfy the s2 hierarchy contract
   (``parent = (leaf & ~(2*lsb-1)) | lsb``) and the face contract
   (``id >> 61 == face``).
-- **H3-style hex grid** (*h3ish*: honest approximation, NOT the true H3
-  icosahedral grid): axial hex binning of an equirectangular projection
-  with aperture-7 scaling between resolutions (hex size at res r+2 is
-  size/7), parent = hex containing the child's center — the same
-  center-containment hierarchy H3 itself has.  Deterministic, hierarchical,
-  k-ring-able; documented approximation (true H3 would swap the
-  projection, the id layout is compatible in spirit).
+- **H3-style hex grid** (*h3ish*: a simple axial approximation kept for
+  its cheap closed-form SQL oracle and k-ring math).  The TRUE-GEOMETRY
+  icosahedral aperture-7 grid lives in :mod:`ot_spark.h3x` (gnomonic
+  faces, Class II/III lattices, 122 base cells / 12 pentagons, H3-layout
+  ids) and is what the ``h3_tiles`` gate query uses; h3ish remains as a
+  lightweight alternative binning, not the H3 claim.
 - **k-ring kNN**: expand hex rings around a point's cell until a cell
   containing raster coverage is found — the north_star's
   nearest-raster-tile enrichment.

@@ -20,7 +20,12 @@ unequal iteration counts across levels and oversubscribed the host):
   (last end - release): wall-clock of the slowest executor, the cluster
   semantics;
 - levels are run twice in A,B,B,A order and the best of each level is
-  kept (noisy-neighbor host: min-of-K on the level, not per worker).
+  kept (noisy-neighbor host: min-of-K on the level, not per worker);
+- PRIMARY criterion (round-5 pre-registration): per-executor FLATNESS —
+  a 4-executor window qualifies when every executor runs >= 0.9x the
+  best solo (1-executor) rate; PASS needs >= 2 qualifying windows, with
+  extra windows run (bounded by SPARK_GRAFT_EXEC_MAX_EXTRA) until two
+  qualify.  Aggregate efficiency >= 0.8 is reported alongside.
 
     python tools/executor_scaling.py
     SPARK_GRAFT_EXEC_LO=1 SPARK_GRAFT_EXEC_HI=4 python tools/executor_scaling.py
@@ -168,15 +173,61 @@ def main() -> None:
             raise SystemExit(f"level {lvl} failed 3 attempts")
         print(r, file=sys.stderr)
         (lo_runs if lvl == LO else hi_runs).append(r)
+    # -------- primary criterion (pre-registered, round-5): PER-EXECUTOR
+    # FLATNESS.  solo rate = best 1-executor window; a HI window QUALIFIES
+    # when EVERY executor runs >= 0.9x the solo rate — i.e. adding
+    # executors did not slow any of them down, the per-executor signal the
+    # aggregate efficiency number blurs on a noisy host.  PASS requires
+    # >= 2 qualifying windows (not best-of-campaign); extra HI windows are
+    # run (bounded) until two qualify or the budget is spent, and every
+    # window is reported.
+    def flatness(r: dict, solo_pps: float) -> None:
+        ratios = [p / solo_pps for p in r["per_executor_pps"]]
+        r["flatness_ratios"] = [round(x, 3) for x in ratios]
+        r["qualifies"] = min(ratios) >= 0.9
+
+    solo_pps = max(max(r["per_executor_pps"]) for r in lo_runs)
+    for r in hi_runs:
+        flatness(r, solo_pps)
+    max_extra = int(os.environ.get("SPARK_GRAFT_EXEC_MAX_EXTRA", "6"))
+    extra = 0
+    while sum(r["qualifies"] for r in hi_runs) < 2 and extra < max_extra:
+        extra += 1
+        for attempt in range(3):
+            try:
+                r = run_level(HI)
+                break
+            except RuntimeError as exc:
+                print(f"extra HI attempt {attempt}: {exc}; retrying",
+                      file=sys.stderr)
+        else:
+            break
+        flatness(r, solo_pps)
+        print(r, file=sys.stderr)
+        hi_runs.append(r)
+
     lo = max(lo_runs, key=lambda r: r["pages_per_sec"])
     hi = max(hi_runs, key=lambda r: r["pages_per_sec"])
     speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
     efficiency = speedup / (HI / LO)
+    n_qual = sum(r["qualifies"] for r in hi_runs)
     summary = {
-        "protocol": "barrier-start, equal-iteration, non-oversubscribed, best-of-%d" % REPEATS,
+        "protocol": "barrier-start, equal-iteration, non-oversubscribed, "
+        "best-of-%d; primary criterion: per-executor >=0.9x solo in >=2 "
+        "windows (pre-registered r5)" % REPEATS,
         "lo": lo, "hi": hi,
         "lo_all_pps": [round(r["pages_per_sec"], 1) for r in lo_runs],
         "hi_all_pps": [round(r["pages_per_sec"], 1) for r in hi_runs],
+        "solo_pps": round(solo_pps, 1),
+        "hi_windows": [
+            {"pps": round(r["pages_per_sec"], 1),
+             "per_executor_pps": r["per_executor_pps"],
+             "flatness_ratios": r["flatness_ratios"],
+             "qualifies": r["qualifies"]}
+            for r in hi_runs
+        ],
+        "qualifying_windows": n_qual,
+        "primary_pass": n_qual >= 2,
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
         "target": 0.8,
