@@ -40,6 +40,9 @@ Scale shape: the per-row transform is a single struct-returning Arrow
 pandas UDF over (lat, lon) — pure vectorized numpy, no shuffle, no
 driver involvement beyond the 500-ish-entry lookup tables baked into the
 closure.  Parent/rollup derivation is pure JVM bit algebra on the id.
+Adjacency: :func:`h3x_neighbors` / :func:`h3x_kring` (gridDisk) step one
+lattice unit in the cell's own face frame and re-encode — table-free
+cross-face resolution.
 
 Reference parity: the reference's grid operator is cells.rs (reference
 src/cell.rs equivalent — see ot_spark/cells.py); h3x is the north_star's
@@ -662,6 +665,59 @@ def h3x_cell_center(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             lon[m] = np.degrees(np.arctan2(xyz[:, 1], xyz[:, 0]))
             done[m] = True
     return lat, lon
+
+
+def h3x_neighbors(ids: np.ndarray) -> np.ndarray:
+    """(n, 6) adjacent cell ids, ccw digit-cycle order (I, IJ, J, JK, K,
+    IK).  Shape: decode the center, step one lattice unit in the cell's
+    own face frame, re-encode — the encoder's total sphere->cell map
+    resolves cross-face neighbors for free (the published library instead
+    carries per-edge remap tables; same reachability, table-free).
+    Pentagons (and their ragged fringe, module-docstring delta #3) can
+    repeat a neighbor across slots — callers that need the SET of
+    neighbors dedup, as :func:`h3x_kring` does.  All ids must share one
+    resolution."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if not len(ids):
+        return np.empty((0, 6), dtype=np.int64)
+    res_all = h3x_res(ids)
+    res = int(res_all[0])
+    if not (res_all == res).all():
+        raise ValueError("h3x_neighbors requires uniform resolution")
+    clat, clon = h3x_cell_center(ids)
+    xyz = _latlon_to_xyz(clat, clon)
+    face = _best_face(xyz)
+    x, y = _gnomonic_fwd(xyz, face)
+    i, j = _axial_ij(*_hex2d_at_res(x, y, res))
+    _, _, centers, ex, ey, _, _ = _geometry()
+    out = np.empty((len(ids), 6), dtype=np.int64)
+    for p, d in enumerate(_CCW_CYCLE):
+        oi, oj = _OFF_OF[d]
+        tx, ty = _lattice_to_tangent(i + oi, j + oj, res)
+        n = centers[face] + tx[:, None] * ex[face] + ty[:, None] * ey[face]
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        nlat = np.degrees(np.arcsin(np.clip(n[:, 2], -1, 1)))
+        nlon = np.degrees(np.arctan2(n[:, 1], n[:, 0]))
+        out[:, p] = h3x_cell_ids(nlat, nlon, res)
+    return out
+
+
+def h3x_kring(cell: int, k: int) -> np.ndarray:
+    """All cells within grid distance <= k of ``cell`` (the H3 gridDisk
+    surface), by frontier expansion over :func:`h3x_neighbors` with
+    dedup — O(ring area) work, no global state.  Returns a sorted id
+    array including ``cell`` itself (size 1+3k(k+1) away from
+    pentagons)."""
+    seen = {int(cell)}
+    frontier = np.array([int(cell)], dtype=np.int64)
+    for _ in range(k):
+        nxt = np.unique(h3x_neighbors(frontier))
+        fresh = np.array([c for c in nxt if int(c) not in seen], dtype=np.int64)
+        seen.update(int(c) for c in fresh)
+        if not len(fresh):
+            break
+        frontier = fresh
+    return np.array(sorted(seen), dtype=np.int64)
 
 
 def oracle_constants(res: int) -> dict:

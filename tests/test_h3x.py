@@ -168,3 +168,45 @@ def test_spark_plan_single_arrow_udf(spark):
     # count the tree form "ArrowEvalPython (<id>)" to assert ONE node
     assert plan.count("ArrowEvalPython (") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_neighbors_and_kring():
+    """Hexagon cells: 6 distinct neighbors, symmetric adjacency, ring
+    sizes 1+3k(k+1); pentagon cells: 5 distinct neighbors."""
+    la = np.array([52.52, -33.86, 37.77])
+    lo = np.array([13.405, 151.21, -122.42])
+    ids = h3x.h3x_cell_ids(la, lo, 7)
+    nb = h3x.h3x_neighbors(ids)
+    for r in range(len(ids)):
+        ns = set(int(v) for v in nb[r])
+        assert len(ns) == 6 and int(ids[r]) not in ns
+        # adjacency is symmetric
+        for n in ns:
+            back = set(int(v) for v in h3x.h3x_neighbors(np.array([n]))[0])
+            assert int(ids[r]) in back
+    assert len(h3x.h3x_kring(int(ids[0]), 1)) == 7
+    assert len(h3x.h3x_kring(int(ids[0]), 2)) == 19
+    assert len(h3x.h3x_kring(int(ids[0]), 3)) == 37
+
+    # pentagons: 5 mutually-adjacent neighbors; only the two POLAR
+    # pentagons may show one extra/unreciprocated fringe slot (docstring
+    # delta #3 — the vertex deficit), measured: 10/12 exactly 5-of-5
+    for b, h in enumerate(bc_home_all()):
+        if not h[3]:
+            continue
+        pid = np.int64((0 << 52) | (b << 45) | ((1 << 45) - 1))
+        ns = set(int(v) for v in h3x.h3x_neighbors(np.array([pid]))[0]) - {int(pid)}
+        mutual = sum(
+            1 for n in ns
+            if int(pid) in set(
+                int(v) for v in h3x.h3x_neighbors(np.array([n], dtype=np.int64))[0]
+            )
+        )
+        assert 5 <= len(ns) <= 6 and mutual >= 4
+        if b not in (0, 121):  # non-polar pentagons are exact
+            assert len(ns) == 5 and mutual == 5
+
+
+def bc_home_all():
+    bc_home, _ = h3x._base_cells()
+    return bc_home
