@@ -181,6 +181,84 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline (exact dedup + quality + repetition
+    + langid) fused over ONE tokenizer evaluation — the end-to-end
+    curation query a pretraining-data run executes."""
+    from ot_spark.webtext.curate import corpus_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_clean(docs)
+
+
+def _corpus_clean_oracle_sql() -> str:
+    from ot_spark.webtext.textstats import LANG_STOPWORDS
+
+    en = _stop_list_sql(LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+k AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+bgr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+counts AS (SELECT doc_id, bigram, count(*) AS c FROM bgr GROUP BY 1, 2),
+top AS (SELECT doc_id AS top_doc, max(c) AS topc FROM counts GROUP BY 1),
+feats AS (
+  SELECT t.doc_id,
+    len(toks) AS nt,
+    {_langid_best_sql()} AS lang_pred,
+    round(CAST(len(list_filter(toks, x -> list_contains({en}, x))) AS DOUBLE)
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    CASE WHEN len(toks) > 1
+         THEN coalesce(topc, 0) / (len(toks) - 1) ELSE 0 END AS top_frac,
+    CASE WHEN len(toks) > 0
+         THEN 1 - len(list_distinct(toks)) / len(toks) ELSE 0 END AS dup_frac
+  FROM t LEFT JOIN top ON t.doc_id = top.top_doc
+)
+SELECT f.doc_id, lang_pred, CAST(nt AS BIGINT) AS n_tokens,
+       stopword_ratio, round(dup_frac, 6) AS dup_token_frac
+FROM feats f JOIN k ON k.doc_id = f.doc_id
+WHERE k.rn = 1 AND nt >= 5 AND nt <= 5000
+  AND stopword_ratio >= 0.02 AND top_frac <= 0.18 AND dup_frac <= 0.5
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source (distributed term weighting)."""
+    from ot_spark.webtext.curate import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, n_docs=docs.count(), k=5)
+
+
+def _tfidf_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+e AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+pd AS (SELECT term, source, doc_id, count(*) AS c FROM e GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(*) AS df FROM pd GROUP BY 1),
+ps AS (SELECT source, term, sum(c) AS tf FROM pd GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM ps JOIN dft USING (term) CROSS JOIN n
+)
+SELECT source, term, tf, df, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -1474,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_ids": q_minmax_ids,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "corpus_clean": q_corpus_clean,
+        "tfidf_terms": q_tfidf_terms,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -1652,22 +1732,27 @@ def _stop_list_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-def _langid_oracle_sql() -> str:
+def _langid_best_sql() -> str:
+    """The langid argmax as a single SQL expression over a ``toks`` list
+    column — shared by the standalone langid oracle and corpus_clean's."""
     from ot_spark.webtext.textstats import LANG_STOPWORDS
 
     scores = {
         lang: f"len(list_filter(toks, t -> list_contains({_stop_list_sql(words)}, t)))"
         for lang, words in LANG_STOPWORDS.items()
     }
-    ordered = sorted(scores)
     best = "'und'"
     best_score = "0"
-    for lang in ordered:
+    for lang in sorted(scores):
         best = f"CASE WHEN {scores[lang]} > {best_score} THEN '{lang}' ELSE {best} END"
         best_score = f"greatest({best_score}, {scores[lang]})"
+    return best
+
+
+def _langid_oracle_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
-SELECT doc_id, {best} AS lang_pred FROM t
+SELECT doc_id, {_langid_best_sql()} AS lang_pred FROM t
 """
 
 
@@ -2273,6 +2358,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars_actual FROM documents"
         ),
+        "corpus_clean": _corpus_clean_oracle_sql(),
+        "tfidf_terms": _tfidf_oracle_sql(),
     }
 
 

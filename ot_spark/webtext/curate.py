@@ -1,0 +1,173 @@
+"""End-to-end corpus curation: the composed cleaning pipeline + TF-IDF.
+
+``corpus_clean`` is the operator a 100 TB pretraining-data run actually
+executes: exact dedup + quality gates + repetition gates + language id,
+FUSED over a single tokenizer evaluation.  Composing the individual
+``with_*`` helpers would tokenize every document three times (each helper
+calls ``with_tokens`` itself); here the token array is bound once and
+every feature family references the same attribute — the same
+materialize-once discipline the round-4 plan guards pin for the
+individual operators.
+
+Scale shape: one narrow map stage computes every per-document feature
+(quality ratios, repetition fold, langid argmax), then ONE shuffle — the
+dedup window on ``md5(text)`` — decides keepers.  Gates are applied after
+the window so the filter is a post-shuffle map; at 100 TB the heavy text
+columns are pruned before the exchange (only doc_id, hash and the few
+numeric features shuffle — enforced by selecting before the window).
+
+``tfidf_top_terms`` builds the per-source top-k TF-IDF table the way a
+distributed vocabulary/term-weighting job does: explode -> per-(term,doc)
+partial counts (map-side combinable), then document frequency and
+per-source term mass derived from that SAME aggregate — the wide base agg
+is shuffled once and reused, and the tiny term->df side is joined after
+(broadcast at gate scale, AQE-planned at 100 TB where the vocabulary can
+be large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import TOKENS_COL, with_tokens
+from .textstats import LANG_STOPWORDS, bigrams_col, quality_features
+
+
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.02,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_token_frac: float = 0.5,
+) -> DataFrame:
+    """Survivors of the full cleaning pipeline, with their features.
+
+    Keep a document iff ALL of:
+      - it is the exact-dedup keeper (lowest doc_id for its md5(text));
+      - ``min_tokens <= n_tokens <= max_tokens``;
+      - rounded stopword_ratio >= ``min_stopword_ratio`` (rounded on BOTH
+        engines so the threshold compare cannot straddle a ulp);
+      - Gopher repetition gates on the UNROUNDED fractions (matching the
+        standalone repetition operator's oracle semantics).
+    """
+    tok = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+
+    # -- langid scores: each is referenced twice by the argmax chain, so
+    # they must be bound columns (see with_langid) --
+    score_cols = {
+        f"__sc_{lang}": F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    feats = quality_features(F.col(text_col), tokens=toks)
+
+    # repetition: longest equal run in the sorted bigram array (see
+    # with_repetition — duplicated here so the fold shares this stage's
+    # token binding instead of re-tokenizing)
+    bg = bigrams_col(toks)
+    run_best = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    scored = tok.withColumns(score_cols).withColumns(
+        {
+            "n_tokens": feats["n_tokens"],
+            "stopword_ratio": feats["stopword_ratio"],
+            "__top_n": run_best,
+            "__n_bg": F.greatest(F.size(toks) - 1, F.lit(0)),
+            "__n_distinct": F.size(F.array_distinct(toks)),
+            "__hash": F.md5(F.col(text_col)),
+        }
+    )
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        cond = F.col(f"__sc_{lang}") > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, F.col(f"__sc_{lang}")).otherwise(best_score)
+
+    n_toks = F.col("n_tokens")
+    top_frac = F.when(
+        F.col("__n_bg") > 0, F.col("__top_n") / F.col("__n_bg")
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_toks > 0, 1.0 - F.col("__n_distinct") / n_toks
+    ).otherwise(F.lit(0.0))
+
+    # prune to the shuffle-light projection BEFORE the dedup window: the
+    # exchange carries a hash + a handful of numerics, never the text
+    narrow = scored.select(
+        "doc_id",
+        "__hash",
+        "n_tokens",
+        "stopword_ratio",
+        best_lang.alias("lang_pred"),
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        top_frac.alias("__top_frac"),
+        dup_frac.alias("__dup_frac"),
+    )
+    w = Window.partitionBy("__hash").orderBy(F.asc("doc_id"))
+    kept = (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("__top_frac") <= max_top_bigram_frac)
+            & (F.col("__dup_frac") <= max_dup_token_frac)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "stopword_ratio", "dup_token_frac")
+    )
+    return kept
+
+
+def tfidf_top_terms(df: DataFrame, n_docs: int, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per source.
+
+    score(source, term) = tf(source, term) * ln(N / df(term)), where tf is
+    the total occurrence count in the source's documents and df the number
+    of distinct documents containing the term.  Ranked on the ROUNDED
+    score (ties -> term ascending) so both engines rank identical keys.
+
+    ``n_docs`` is passed in (one scalar count job at the call site) so the
+    plan stays a straight agg tree.  Both downstream aggregates derive
+    from the same per-(term, doc) base aggregate: the corpus-sized explode
+    is shuffled once, and the term->df side (vocabulary-sized, far
+    smaller) joins after — broadcast at gate scale, AQE decides at 100 TB.
+    """
+    tok = with_tokens(df)
+    terms = tok.select(
+        "doc_id", "source", F.explode(F.col(TOKENS_COL)).alias("term")
+    )
+    per_doc = terms.groupBy("term", "source", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # (term, doc_id) rows are unique after the groupBy -> count(*) == df
+    df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_src = per_doc.groupBy("source", "term").agg(
+        F.sum("c").cast("long").alias("tf")
+    )
+    scored = per_src.join(F.broadcast(df_t), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("source", "term", "tf", "df", "tfidf", "rnk")
+    )

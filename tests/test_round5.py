@@ -175,3 +175,71 @@ def test_trace_elements_piggybacks_on_action(spark):
     assert got["rows"] == 100
     rows = {r["doc_id"]: r["v"] for r in got["traced"]}
     assert rows == {3: 6, 42: 84}  # 999 not in data; absent, not null
+
+
+# --------------------------- corpus_clean + tfidf (curation pipeline)
+
+def _curate_corpus(spark):
+    rows = [
+        # 1/2 exact duplicates: only doc 1 may survive
+        (1, "the quick brown fox jumps over the lazy dog again today", "s0"),
+        (2, "the quick brown fox jumps over the lazy dog again today", "s0"),
+        # too short (< 5 tokens)
+        (3, "the tiny one", "s0"),
+        # no stopwords at all -> stopword_ratio 0 < 0.02
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s1"),
+        # keyword stuffing: one bigram dominates -> repetition gate
+        (5, "buy now " * 30 + "the end", "s1"),
+        # clean survivor
+        (6, "it is a fine day and the dog walked to the park with us", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_corpus_clean_gates(spark):
+    from ot_spark.webtext.curate import corpus_clean
+
+    out = corpus_clean(_curate_corpus(spark)).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 6]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].lang_pred == "en"
+    assert by_id[1].n_tokens == 11
+    # features travel with the survivors, already rounded
+    # doc 6: 14 tokens, 7 en-stopword hits (it,is,and,the,to,the,with)
+    assert abs(by_id[6].stopword_ratio - 0.5) < 1e-9
+    assert by_id[6].n_tokens == 14
+
+
+def test_corpus_clean_single_tokenize_and_narrow_shuffle(spark):
+    """One tokenizer evaluation per row, and the dedup exchange must not
+    carry the text column (pruned to hash + numerics before the window)."""
+    from ot_spark.webtext.curate import corpus_clean
+
+    df = corpus_clean(_curate_corpus(spark))
+    plan = _formatted_plan(df)
+    assert plan.count("regexp_extract_all") == 1, plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and all("text" not in l for l in ex), plan
+
+
+def test_tfidf_top_terms(spark):
+    from ot_spark.webtext.curate import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana", "s0"),
+        (2, "apple cherry", "s0"),
+        (3, "banana banana banana cherry", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tfidf_top_terms(docs, n_docs=3, k=2).collect()
+    import math
+
+    got = {(r.source, r.term): (r.tf, r.df, r.tfidf, r.rnk) for r in out}
+    # s1: banana tf=3 df=2, cherry tf=1 df=2 -> banana ranks first
+    assert got[("s1", "banana")] == (3, 2, round(3 * math.log(3 / 2), 6), 1)
+    assert got[("s1", "cherry")][3] == 2
+    # s0: apple appears in both docs (df=2), tf=3 within s0
+    assert got[("s0", "apple")][:2] == (3, 2)
+    # ubiquitous term (df == n_docs) scores ln(1) = 0
+    assert all(r.tfidf >= 0 for r in out)
