@@ -219,8 +219,14 @@ def test_corpus_clean_single_tokenize_and_narrow_shuffle(spark):
     df = corpus_clean(_curate_corpus(spark))
     plan = _formatted_plan(df)
     assert plan.count("regexp_extract_all") == 1, plan
-    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
-    assert ex and all("text" not in l for l in ex), plan
+    # formatted layout: "(N) Exchange" then "Input [...]" then "Arguments:"
+    lines = plan.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.strip().endswith("Exchange") and "Input" in lines[i + 1]
+    ]
+    assert ex_inputs and all("text" not in l for l in ex_inputs), plan
 
 
 def test_tfidf_top_terms(spark):
