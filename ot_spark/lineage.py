@@ -63,15 +63,27 @@ def _lineage_exists(spark: SparkSession, lineage_path: str) -> bool:
 PROPS_SUBDIR = "_properties"  # leading underscore: Spark readers skip it
 
 
+def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-partition DataFrame for metadata-log writes.
+
+    ``createDataFrame(local_rows)`` slices the rows into defaultParallelism
+    LocalTableScan partitions; pulling those through ``coalesce(1)`` costs
+    ~150 ms PER SLICE in local mode (measured: every one-row metadata write
+    took ~5 s at local[32], regardless of sink format — the bulk of
+    snapshot_read's round-5 regression).  parallelize(rows, 1) pins ONE
+    slice at creation: no coalesce, no shuffle, one task."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def write_table_properties(spark: SparkSession, out_dir: str, props: dict) -> None:
     """Persist table properties (the osmosis_replication_timestamp analog,
     /root/reference/src/utils.rs:4-8) as a tiny parquet sidecar under the
     output dir — scheme-agnostic (no driver-local fs ops), invisible to
     readers of the data dir itself."""
     rows = [(str(k), str(v)) for k, v in sorted(props.items())]
-    spark.createDataFrame(rows or [("", "")], "key string, value string").where(
+    _tiny_df(spark, rows or [("", "")], "key string, value string").where(
         F.col("key") != ""
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/{PROPS_SUBDIR}")
+    ).write.mode("overwrite").parquet(f"{out_dir}/{PROPS_SUBDIR}")
 
 
 def read_table_properties(spark: SparkSession, in_dir: str) -> dict:
@@ -271,12 +283,15 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def _snapshot_rows(spark: SparkSession, out_dir: str) -> list | None:
+    return _meta_rows(spark, f"{out_dir}/{SNAPSHOTS_SUBDIR}")
+
+
 def current_snapshot_id(spark: SparkSession, out_dir: str) -> int | None:
-    snaps = snapshots(spark, out_dir)
-    if snaps is None:
+    rows = _snapshot_rows(spark, out_dir)
+    if not rows:
         return None
-    row = snaps.agg(F.max("snapshot_id").alias("m")).first()
-    return row.m
+    return max(r.snapshot_id for r in rows)
 
 
 def _append_snapshot(
@@ -311,12 +326,13 @@ def _append_snapshot(
         schema_id,
         spec_id,
     )]
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         row,
         "snapshot_id long, parent_id long, ts long, operation string, "
         "run_id string, buckets_written long, buckets_skipped long, "
         "schema_id long, spec_id long",
-    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}")
+    ).write.mode("append").parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}")
     return snap_id
 
 
@@ -354,21 +370,15 @@ def read_current(spark: SparkSession, out_dir: str, lineage_path: str) -> DataFr
     schema log the result is projected to the CURRENT schema (renamed
     fields resolve across their physical-name history; columns added since
     a file was written null-fill)."""
-    cur = current_schema(spark, out_dir)
+    rows = _schema_rows(spark, out_dir)
     df = _pinned_read(
         spark, out_dir, spark.read.parquet(lineage_path),
-        merge=cur is not None and _schema_versions(spark, out_dir) > 1,
+        merge=_nversions(rows) > 1,
     )
-    if cur is None:
+    if not rows:
         return df
-    sid, fields = cur
-    log_rows = schema_log(spark, out_dir).collect()
-    cands: dict[int, list[str]] = {}
-    for r in sorted(log_rows, key=lambda r: (r.schema_id, r.ord)):
-        lst = cands.setdefault(r.field_id, [])
-        if r.physical not in lst:
-            lst.append(r.physical)
-    return _project_to_schema(df, fields, cands)
+    _sid, fields = _current_from(rows)
+    return _project_to_schema(df, fields, _cands_from(rows))
 
 
 def read_as_of(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFrame:
@@ -381,12 +391,26 @@ def read_as_of(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFrame
     RECORDED AT that snapshot (Iceberg: a snapshot references a schema-id):
     columns added after it vanish, and a field renamed since still comes
     back under its as-of name via field-id resolution."""
+    rows = _schema_rows(spark, out_dir)
     df = _pinned_read(
         spark, out_dir, read_manifest(spark, out_dir, snapshot_id),
-        merge=_schema_versions(spark, out_dir) > 1,
+        merge=_nversions(rows) > 1,
     )
-    sch = _schema_as_of(spark, out_dir, snapshot_id)
-    return df if sch is None else _project_to_schema(df, *sch)
+    if not rows:
+        return df
+    snap = next(
+        (
+            s
+            for s in _snapshot_rows(spark, out_dir) or []
+            if s.snapshot_id == snapshot_id
+        ),
+        None,
+    )
+    sid = getattr(snap, "schema_id", None)
+    if sid is None:  # snapshot predates the schema log
+        return df
+    fields = sorted((r for r in rows if r.schema_id == sid), key=lambda r: r.ord)
+    return _project_to_schema(df, fields, _cands_from(rows))
 
 
 # --------------------------------------- schema / partition-spec evolution
@@ -417,6 +441,35 @@ def _read_meta(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _meta_rows(spark: SparkSession, path: str) -> list | None:
+    """Collected rows of a tiny metadata log, or None when absent.
+
+    Iceberg reads table metadata DRIVER-SIDE (through FileIO), never as
+    cluster jobs — a schema/snapshot/spec lookup that launches a Spark job
+    pays whole-job scheduling latency to fetch a handful of rows (measured:
+    issuing these lookups as jobs doubled snapshot_read).  Local paths read
+    through pyarrow on the driver; non-local URIs (s3://, hdfs://) fall
+    back to ONE Spark read+collect."""
+    local = path[7:] if path.startswith("file://") else path
+    if "://" not in local:
+        import glob as _glob
+        from types import SimpleNamespace
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        if not files:
+            return None
+        rows: list = []
+        for f in files:
+            rows.extend(
+                SimpleNamespace(**d) for d in pq.read_table(f).to_pylist()
+            )
+        return rows
+    df = _read_meta(spark, path)
+    return None if df is None else df.collect()
+
+
 def schema_log(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return _read_meta(spark, f"{out_dir}/{SCHEMAS_SUBDIR}")
 
@@ -425,11 +478,29 @@ def partition_specs(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return _read_meta(spark, f"{out_dir}/{SPECS_SUBDIR}")
 
 
-def _schema_versions(spark: SparkSession, out_dir: str) -> int:
-    log = schema_log(spark, out_dir)
-    if log is None:
-        return 0
-    return log.select("schema_id").distinct().count()
+def _schema_rows(spark: SparkSession, out_dir: str) -> list | None:
+    return _meta_rows(spark, f"{out_dir}/{SCHEMAS_SUBDIR}")
+
+
+def _nversions(rows: list | None) -> int:
+    return len({r.schema_id for r in rows}) if rows else 0
+
+
+def _current_from(rows: list) -> tuple[int, list]:
+    sid = max(r.schema_id for r in rows)
+    fields = sorted((r for r in rows if r.schema_id == sid), key=lambda r: r.ord)
+    return sid, fields
+
+
+def _cands_from(rows: list) -> dict[int, list[str]]:
+    """field_id -> physical-name candidates across ALL schema versions
+    (the rename history, i.e. plain-parquet field-id resolution)."""
+    cands: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r.schema_id, r.ord)):
+        lst = cands.setdefault(r.field_id, [])
+        if r.physical not in lst:
+            lst.append(r.physical)
+    return cands
 
 
 def _write_schema(
@@ -437,24 +508,20 @@ def _write_schema(
 ) -> None:
     """``fields``: ordered (field_id, name, type, physical) tuples."""
     rows = [(schema_id, i, *f) for i, f in enumerate(fields)]
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         rows,
         "schema_id long, ord int, field_id long, name string, "
         "type string, physical string",
-    ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SCHEMAS_SUBDIR}")
+    ).write.mode("append").parquet(f"{out_dir}/{SCHEMAS_SUBDIR}")
 
 
 def current_schema(
     spark: SparkSession, out_dir: str
 ) -> tuple[int, list] | None:
     """(schema_id, ordered field rows) of the latest schema, or None."""
-    log = schema_log(spark, out_dir)
-    if log is None:
-        return None
-    rows = log.collect()  # metadata scale: #versions x #fields rows
-    sid = max(r.schema_id for r in rows)
-    fields = sorted((r for r in rows if r.schema_id == sid), key=lambda r: r.ord)
-    return sid, fields
+    rows = _schema_rows(spark, out_dir)
+    return None if not rows else _current_from(rows)
 
 
 def add_column(spark: SparkSession, out_dir: str, name: str, dtype: str) -> int:
@@ -505,7 +572,8 @@ def _register_metadata(
     data_fields = [
         f for f in df.schema.fields if f.name not in (BUCKET_COL, RUN_COL)
     ]
-    cur = current_schema(spark, out_dir)
+    srows = _schema_rows(spark, out_dir)
+    cur = None if not srows else _current_from(srows)
     if cur is None:
         sid = 0
         _write_schema(
@@ -526,53 +594,25 @@ def _register_metadata(
             sid += 1
             _write_schema(spark, out_dir, sid, nf)
 
-    specs = partition_specs(spark, out_dir)
-    if specs is None:
+    rows = _meta_rows(spark, f"{out_dir}/{SPECS_SUBDIR}")
+    if rows is None:
         pid = 0
-        spark.createDataFrame(
+        _tiny_df(
+            spark,
             [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
             "spec_id long, source string, transform string, n long",
-        ).coalesce(1).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
+        ).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
     else:
-        rows = specs.collect()
         latest = max(rows, key=lambda r: r.spec_id)
         pid = latest.spec_id
         if (latest.source, latest.n) != (cell_col, n_buckets):
             pid += 1
-            spark.createDataFrame(
+            _tiny_df(
+                spark,
                 [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
                 "spec_id long, source string, transform string, n long",
-            ).coalesce(1).write.mode("append").parquet(
-                f"{out_dir}/{SPECS_SUBDIR}"
-            )
+            ).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
     return sid, pid
-
-
-def _schema_as_of(
-    spark: SparkSession, out_dir: str, snapshot_id: int
-) -> tuple[list, dict] | None:
-    """(ordered field rows of the snapshot's schema, field_id -> physical
-    name candidates across ALL versions), or None when the table predates
-    the schema log."""
-    snaps = snapshots(spark, out_dir)
-    if snaps is None or "schema_id" not in snaps.columns:
-        return None
-    row = snaps.where(F.col("snapshot_id") == snapshot_id).first()
-    if row is None or row.schema_id is None:
-        return None
-    log = schema_log(spark, out_dir)
-    if log is None:
-        return None
-    rows = log.collect()
-    fields = sorted(
-        (r for r in rows if r.schema_id == row.schema_id), key=lambda r: r.ord
-    )
-    cands: dict[int, list[str]] = {}
-    for r in sorted(rows, key=lambda r: (r.schema_id, r.ord)):
-        lst = cands.setdefault(r.field_id, [])
-        if r.physical not in lst:
-            lst.append(r.physical)
-    return fields, cands
 
 
 def _project_to_schema(df: DataFrame, fields: list, cands: dict) -> DataFrame:
