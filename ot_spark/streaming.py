@@ -202,6 +202,35 @@ def dedup_stream(
     return wm.dropDuplicatesWithinWatermark(key_cols)
 
 
+def clean_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    late_horizon: str = "1 hour",
+) -> DataFrame:
+    """The FULL corpus-cleaning pipeline (quality + repetition + langid
+    gates + exact content dedup) on an unbounded input — what a continuous
+    crawl feed runs instead of the batch ``corpus_clean``.
+
+    The per-document features are the SAME stateless Column algebra the
+    batch operator uses (``clean_features`` — one tokenizer evaluation,
+    narrow projection), so they are stream-legal as-is.  The one semantic
+    shift is the dedup keeper: batch keeps the LOWEST doc_id of a content
+    group; a stream cannot see the future, so the FIRST ARRIVAL wins,
+    with ``dropDuplicatesWithinWatermark`` bounding the content-hash state
+    to ``late_horizon`` of event time.  Gates run BEFORE the dedup state,
+    so rejected documents never occupy state.  Batch/stream parity on
+    arrival-ordered input is pinned by tests/test_streaming.py."""
+    from .webtext.curate import OUT_COLS, clean_features, gate_condition
+
+    feats = clean_features(
+        stream.withWatermark(ts_col, late_horizon), text_col, keep_cols=(ts_col,)
+    )
+    gated = feats.where(gate_condition())
+    deduped = gated.dropDuplicatesWithinWatermark(["__hash"])
+    return deduped.select(*OUT_COLS)
+
+
 def run_to_memory(
     stream: DataFrame, name: str, checkpoint: str, complete: bool = False
 ) -> None:

@@ -34,25 +34,17 @@ from .dedup import TOKENS_COL, with_tokens
 from .textstats import LANG_STOPWORDS, bigrams_col, quality_features
 
 
-def corpus_clean(
-    df: DataFrame,
-    text_col: str = "text",
-    min_tokens: int = 5,
-    max_tokens: int = 5000,
-    min_stopword_ratio: float = 0.02,
-    max_top_bigram_frac: float = 0.18,
-    max_dup_token_frac: float = 0.5,
+def clean_features(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple = ()
 ) -> DataFrame:
-    """Survivors of the full cleaning pipeline, with their features.
+    """The narrow per-document feature frame every cleaning variant shares:
+    one tokenizer evaluation feeding quality, repetition, and langid, plus
+    the content hash — all STATELESS Column algebra, so the same frame is
+    legal on a stream (see ot_spark.streaming.clean_stream).
 
-    Keep a document iff ALL of:
-      - it is the exact-dedup keeper (lowest doc_id for its md5(text));
-      - ``min_tokens <= n_tokens <= max_tokens``;
-      - rounded stopword_ratio >= ``min_stopword_ratio`` (rounded on BOTH
-        engines so the threshold compare cannot straddle a ulp);
-      - Gopher repetition gates on the UNROUNDED fractions (matching the
-        standalone repetition operator's oracle semantics).
-    """
+    Columns: doc_id, __hash, n_tokens, stopword_ratio, lang_pred,
+    dup_token_frac (rounded), __top_frac / __dup_frac (unrounded, for the
+    gate compares)."""
     tok = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
 
@@ -107,9 +99,10 @@ def corpus_clean(
         n_toks > 0, 1.0 - F.col("__n_distinct") / n_toks
     ).otherwise(F.lit(0.0))
 
-    # prune to the shuffle-light projection BEFORE the dedup window: the
-    # exchange carries a hash + a handful of numerics, never the text
-    narrow = scored.select(
+    # prune to the shuffle-light projection BEFORE any dedup: the exchange
+    # (or the stream's dedup state) carries a hash + a handful of
+    # numerics, never the text
+    return scored.select(
         "doc_id",
         "__hash",
         "n_tokens",
@@ -118,21 +111,68 @@ def corpus_clean(
         F.round(dup_frac, 6).alias("dup_token_frac"),
         top_frac.alias("__top_frac"),
         dup_frac.alias("__dup_frac"),
+        *keep_cols,  # e.g. the stream's event-time column for watermarking
     )
+
+
+def gate_condition(
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.02,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_token_frac: float = 0.5,
+):
+    """The quality + repetition keep-predicate over clean_features columns.
+    Identical text yields identical features, so this commutes with exact
+    dedup — batch applies it after the keeper window, the stream before
+    the dedup state (cheaper: dropped rows never enter state)."""
+    return (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("__top_frac") <= max_top_bigram_frac)
+        & (F.col("__dup_frac") <= max_dup_token_frac)
+    )
+
+
+OUT_COLS = ["doc_id", "lang_pred", "n_tokens", "stopword_ratio", "dup_token_frac"]
+
+
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    min_stopword_ratio: float = 0.02,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_token_frac: float = 0.5,
+) -> DataFrame:
+    """Survivors of the full cleaning pipeline, with their features.
+
+    Keep a document iff ALL of:
+      - it is the exact-dedup keeper (lowest doc_id for its md5(text));
+      - ``min_tokens <= n_tokens <= max_tokens``;
+      - rounded stopword_ratio >= ``min_stopword_ratio`` (rounded on BOTH
+        engines so the threshold compare cannot straddle a ulp);
+      - Gopher repetition gates on the UNROUNDED fractions (matching the
+        standalone repetition operator's oracle semantics).
+    """
+    narrow = clean_features(df, text_col)
     w = Window.partitionBy("__hash").orderBy(F.asc("doc_id"))
-    kept = (
+    return (
         narrow.withColumn("__rn", F.row_number().over(w))
         .where(
             (F.col("__rn") == 1)
-            & (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-            & (F.col("__top_frac") <= max_top_bigram_frac)
-            & (F.col("__dup_frac") <= max_dup_token_frac)
+            & gate_condition(
+                min_tokens,
+                max_tokens,
+                min_stopword_ratio,
+                max_top_bigram_frac,
+                max_dup_token_frac,
+            )
         )
-        .select("doc_id", "lang_pred", "n_tokens", "stopword_ratio", "dup_token_frac")
+        .select(*OUT_COLS)
     )
-    return kept
 
 
 def tfidf_top_terms(df: DataFrame, n_docs: int, k: int = 5) -> DataFrame:

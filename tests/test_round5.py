@@ -249,3 +249,53 @@ def test_tfidf_top_terms(spark):
     assert got[("s0", "apple")][:2] == (3, 2)
     # ubiquitous term (df == n_docs) scores ln(1) = 0
     assert all(r.tfidf >= 0 for r in out)
+
+
+def test_clean_stream_equals_batch(spark, tmp_path):
+    """Streaming corpus cleaning == batch corpus_clean on arrival-ordered
+    input (first arrival == lowest doc_id), including dedup state carried
+    across two availableNow runs via the checkpoint."""
+    from ot_spark import streaming
+    from ot_spark.webtext.curate import corpus_clean
+
+    src = str(tmp_path / "clean_in")
+    ck = str(tmp_path / "clean_ck")
+    out = str(tmp_path / "clean_out")
+
+    def batch_df(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            if i % 7 == 0:
+                text = "the dup content is the same here always ok"  # dup group
+            elif i % 5 == 0:
+                text = "x " * 3  # too short
+            else:
+                text = f"it is a day {i} and the dog walked to the park"
+            rows.append((i, text, f"2024-03-01 00:{i % 60:02d}:00"))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ts_s string"
+        ).select(
+            "doc_id", "text", F.col("ts_s").cast("timestamp").alias("warc_ts")
+        )
+
+    # two micro-batch files, arrival order == doc_id order
+    batch_df(0, 40).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    st = streaming.stream_pages(spark, src, schema)
+    streaming.run_to_parquet(streaming.clean_stream(st), out, ck)
+
+    batch_df(40, 80).coalesce(1).write.mode("append").parquet(src)
+    st2 = streaming.stream_pages(spark, src, schema)
+    streaming.run_to_parquet(streaming.clean_stream(st2), out, ck)
+
+    got = {
+        (r.doc_id, r.lang_pred, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.lang_pred, r.n_tokens)
+        for r in corpus_clean(batch_df(0, 80)).collect()
+    }
+    assert got == want and len(want) > 20
+    # the duplicate group collapsed to its first arrival (doc_id 0)
+    assert sum(1 for d, _, _ in got if d % 7 == 0) == 1
