@@ -230,6 +230,33 @@ WHERE k.rn = 1 AND nt >= 5 AND nt <= 5000
 """
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
+    from ot_spark.webtext.curate import unigram_logprob
+    from ot_spark.webtext.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("t")).count()
+    )
+    return unigram_logprob(docs, total_tokens=total)
+
+
+_PERPLEXITY_ORACLE_SQL_TMPL = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+v AS (SELECT term, count(*) AS c FROM e GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM v),
+s AS (
+  SELECT e.doc_id, -ln(v.c / CAST(tot.n AS DOUBLE)) AS nl
+  FROM e JOIN v USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(nl), 6) AS avg_neg_logp
+FROM s GROUP BY 1
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source (distributed term weighting)."""
     from ot_spark.webtext.curate import tfidf_top_terms
@@ -1554,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "corpus_clean": q_corpus_clean,
         "tfidf_terms": q_tfidf_terms,
+        "perplexity": q_perplexity,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2360,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_clean": _corpus_clean_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),
+        "perplexity": _PERPLEXITY_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
     }
 
 

@@ -175,6 +175,32 @@ def corpus_clean(
     )
 
 
+def unigram_logprob(df: DataFrame, total_tokens: int, text_col: str = "text") -> DataFrame:
+    """Per-document unigram LM score: avg_neg_logp = -mean(ln p(token)),
+    the CCNet-style perplexity proxy (Wenzek et al. 2020 filter corpora by
+    LM perplexity; a unigram model keeps both engines exactly replayable —
+    the shape, corpus-LM train then per-doc score, is identical for any
+    n-gram order).
+
+    Two passes over the exploded tokens: a map-side-combinable vocabulary
+    count, then a score join + per-doc agg.  The vocabulary side is
+    broadcast at gate scale; at 100 TB AQE picks the join (vocabulary ≪
+    corpus after combining).  ``total_tokens`` is supplied by the caller
+    (one scalar agg job) so the plan is a straight tree.  Documents with
+    zero tokens have no probability mass and drop out (both engines)."""
+    tok = with_tokens(df, text_col)
+    terms = tok.select("doc_id", F.explode(F.col(TOKENS_COL)).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    scored = terms.join(F.broadcast(vocab), "term").select(
+        "doc_id",
+        (-F.log(F.col("c") / F.lit(float(total_tokens)))).alias("nl"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nl"), 6).alias("avg_neg_logp"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, n_docs: int, k: int = 5) -> DataFrame:
     """Top-``k`` TF-IDF terms per source.
 

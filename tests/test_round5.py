@@ -299,3 +299,24 @@ def test_clean_stream_equals_batch(spark, tmp_path):
     assert got == want and len(want) > 20
     # the duplicate group collapsed to its first arrival (doc_id 0)
     assert sum(1 for d, _, _ in got if d % 7 == 0) == 1
+
+
+def test_unigram_logprob(spark):
+    """Hand-checked unigram LM scores on a 3-doc corpus."""
+    import math
+
+    from ot_spark.webtext.curate import unigram_logprob
+
+    rows = [
+        (1, "a a b"),
+        (2, "b c"),
+        (3, ""),  # zero tokens -> drops out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # counts: a=2, b=2, c=1; total=5
+    out = {r.doc_id: r for r in unigram_logprob(docs, total_tokens=5).collect()}
+    assert set(out) == {1, 2}
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert out[1].n_tokens == 3 and abs(out[1].avg_neg_logp - exp1) < 1e-6
+    assert out[2].n_tokens == 2 and abs(out[2].avg_neg_logp - exp2) < 1e-6
