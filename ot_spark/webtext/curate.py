@@ -219,15 +219,28 @@ def tfidf_top_terms(df: DataFrame, n_docs: int, k: int = 5) -> DataFrame:
     terms = tok.select(
         "doc_id", "source", F.explode(F.col(TOKENS_COL)).alias("term")
     )
-    per_doc = terms.groupBy("term", "source", "doc_id").agg(
+    base = terms.groupBy("term", "source", "doc_id").agg(
         F.count(F.lit(1)).alias("c")
     )
-    # (term, doc_id) rows are unique after the groupBy -> count(*) == df
-    df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    per_src = per_doc.groupBy("source", "term").agg(
-        F.sum("c").cast("long").alias("tf")
+    # LINEAR cascade — ONE corpus-sized exchange, everything after it
+    # vocabulary-scale.  Deriving df and per-source tf as two separate
+    # branches over `base` would scan + explode the corpus TWICE: column
+    # pruning makes the two subtrees non-identical, so neither
+    # ReuseExchange nor AQE dedupes them (verified on the final adaptive
+    # plan).  Instead each stage aggregates the PREVIOUS stage's output:
+    # base rows are unique per (term, doc) (a doc has one source), so
+    # count(*) per (term, source) sums over sources to distinct-docs per
+    # term; the df window runs on the (term x source) frame, never the
+    # corpus.  No collect_list — a stopword term appearing in every
+    # document stays (term, source)-row-shaped, not a 10^12-element list.
+    per_src = base.groupBy("term", "source").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).alias("nd"),
     )
-    scored = per_src.join(F.broadcast(df_t), "term").withColumn(
+    per_src = per_src.withColumn(
+        "df", F.sum("nd").over(Window.partitionBy("term")).cast("long")
+    )
+    scored = per_src.withColumn(
         "tfidf",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
     )
