@@ -710,15 +710,20 @@ def q_remove_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_element_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 ElementCounter x stages (info.rs:10-43) + A5 distinct-id count
-    (collect.rs:39-42) as one row."""
+    (collect.rs:39-42) as one row.
+
+    ONE scan: the per-stage counters are conditional aggregates over the
+    accept predicate, not three crossJoined sub-aggregations (which
+    compile to three full scans — the reference streams its counters in
+    one pass too, info.rs)."""
     df = pagesview.pages_df(spark, sf_dir)
-    acc = filters.complex_filter(df)
-    return (
-        df.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
-        .crossJoin(acc.agg(F.count(F.lit(1)).cast("long").alias("n_accepted")))
-        .crossJoin(
-            acc.agg(F.countDistinct("doc_id").cast("long").alias("n_distinct_ids"))
-        )
+    acc = filters.complex_filter_condition(F.col("attrs"))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.count(F.when(acc, 1)).cast("long").alias("n_accepted"),
+        F.countDistinct(F.when(acc, F.col("doc_id")))
+        .cast("long")
+        .alias("n_distinct_ids"),
     )
 
 
