@@ -230,6 +230,131 @@ WHERE k.rn = 1 AND nt >= 5 AND nt <= 5000
 """
 
 
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from ot_spark.webtext.simsearch import train_pq_codebooks_portable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, train_pq_codebooks_portable(emb, m=4, k=8, sample=500, iters=2)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011): 64 dims -> 4
+    codes, codebooks trained oracle-portably (md5 sample, first-k init,
+    rounded L2 Lloyd) so DuckDB replays training + encode bit-for-bit."""
+    from ot_spark.webtext.simsearch import with_pq_codes
+
+    emb, books = _pq_books(spark, sf_dir)
+    return with_pq_codes(emb, books).select(
+        "vec_id", "code0", "code1", "code2", "code3"
+    )
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 vs the vec_id=0 query: scan touches only the 4-byte
+    codes; distances come from the per-query lookup table."""
+    from ot_spark.webtext.simsearch import pq_adc_topk, with_pq_codes
+
+    emb, books = _pq_books(spark, sf_dir)
+    qvec = list(emb.where("vec_id = 0").first().embedding)
+    codes = with_pq_codes(emb, books)
+    return pq_adc_topk(codes, qvec, books, k_out=10)
+
+
+def _pq_oracle_sql(adc: bool, m: int = 4, k: int = 8, sample: int = 500,
+                   iters: int = 2, dim: int = 64, p: int = 9) -> str:
+    """Full DuckDB re-derivation of PQ: md5-ordered sample, per-subspace
+    first-k init, ``iters`` unrolled rounded-L2 Lloyd iterations, then the
+    whole-table encode (argmin over rounded sequential-fold distances,
+    ties -> lowest code).  ``adc=True`` additionally scores every vector
+    against the vec_id=0 query through the per-subspace distance table and
+    returns the top 10 — exactly the Spark pq_adc_topk plan's semantics."""
+    sub = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub} + 1), "
+            f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    parts = [f"""
+WITH pq_sample AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sidx,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {sample}
+)"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f""",
+sub{s} AS (SELECT sidx, v[{lo}:{hi}] AS vs FROM pq_sample),
+c{s}_0 AS (SELECT sidx AS cid, vs AS cv FROM sub{s} WHERE sidx < {k})""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+a{s}_{i} AS (
+  SELECT x.vs, c.cid,
+         row_number() OVER (PARTITION BY x.sidx
+                            ORDER BY round({l2('x.vs', 'c.cv')}, {p}) ASC,
+                                     c.cid) AS rk
+  FROM sub{s} x CROSS JOIN c{s}_{i - 1} c
+),
+m{s}_{i} AS (
+  SELECT cid, list(round(mval, {p}) ORDER BY dim) AS mv FROM (
+    SELECT cid, dim, avg(val) AS mval FROM (
+      SELECT cid, generate_subscripts(vs, 1) AS dim, unnest(vs) AS val
+      FROM a{s}_{i} WHERE rk = 1
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+),
+c{s}_{i} AS (
+  SELECT c.cid, coalesce(m.mv, c.cv) AS cv
+  FROM c{s}_{i - 1} c LEFT JOIN m{s}_{i} m USING (cid)
+)""")
+        parts.append(f""",
+code{s} AS (
+  SELECT vec_id, cid AS c{s} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({l2(f'(CAST(e.embedding AS DOUBLE[]))[{lo}:{hi}]', 'c.cv')}, {p}) ASC,
+                                       c.cid) AS rk
+    FROM embeddings e CROSS JOIN c{s}_{iters} c
+  ) WHERE rk = 1
+)""")
+    if not adc:
+        parts.append(f"""
+SELECT vec_id, {', '.join(f'CAST(c{s} AS INTEGER) AS code{s}' for s in range(m))}
+FROM {' JOIN '.join(['code0'] + [f'code{s} USING (vec_id)' for s in range(1, m)])}
+""")
+        return "".join(parts)
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        # the query subvector must be a plain joined column: DuckDB
+        # rejects subqueries inside lambda expressions
+        parts.append(f""",
+q{s} AS (
+  SELECT (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+qd{s} AS (
+  SELECT c.cid, round({l2('q.qv', 'c.cv')}, {p}) AS d
+  FROM c{s}_{iters} c CROSS JOIN q{s} q
+)""")
+    joins = " JOIN ".join(
+        ["code0"] + [f"code{s} USING (vec_id)" for s in range(1, m)]
+    )
+    dsum = " + ".join(f"qd{s}.d" for s in range(m))
+    on = " ".join(f"JOIN qd{s} ON qd{s}.cid = c{s}" for s in range(m))
+    parts.append(f"""
+SELECT vec_id, round({dsum}, {p}) AS approx_dist
+FROM {joins} {on}
+ORDER BY approx_dist ASC, vec_id ASC
+LIMIT 10
+""")
+    return "".join(parts)
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1587,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "tfidf_terms": q_tfidf_terms,
         "perplexity": q_perplexity,
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2394,6 +2521,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _corpus_clean_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),
         "perplexity": _PERPLEXITY_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
+        "pq_codes": _pq_oracle_sql(adc=False),
+        "pq_adc": _pq_oracle_sql(adc=True),
     }
 
 

