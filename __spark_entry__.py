@@ -269,7 +269,42 @@ def _pq_oracle_sql(adc: bool, m: int = 4, k: int = 8, sample: int = 500,
     against the vec_id=0 query through the per-subspace distance table and
     returns the top 10 — exactly the Spark pq_adc_topk plan's semantics."""
     sub = dim // m
+    l2 = _pq_l2_sql(sub)
+    body = "WITH " + _pq_train_cte_parts(m, k, sample, iters, dim, p)
+    if not adc:
+        return body + f"""
+SELECT vec_id, {', '.join(f'CAST(c{s} AS INTEGER) AS code{s}' for s in range(m))}
+FROM {' JOIN '.join(['code0'] + [f'code{s} USING (vec_id)' for s in range(1, m)])}
+"""
+    parts = [body]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        # the query subvector must be a plain joined column: DuckDB
+        # rejects subqueries inside lambda expressions
+        parts.append(f""",
+q{s} AS (
+  SELECT (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+qd{s} AS (
+  SELECT c.cid, round({l2('q.qv', 'c.cv')}, {p}) AS d
+  FROM c{s}_{iters} c CROSS JOIN q{s} q
+)""")
+    joins = " JOIN ".join(
+        ["code0"] + [f"code{s} USING (vec_id)" for s in range(1, m)]
+    )
+    dsum = " + ".join(f"qd{s}.d" for s in range(m))
+    on = " ".join(f"JOIN qd{s} ON qd{s}.cid = c{s}" for s in range(m))
+    parts.append(f"""
+SELECT vec_id, round({dsum}, {p}) AS approx_dist
+FROM {joins} {on}
+ORDER BY approx_dist ASC, vec_id ASC
+LIMIT 10
+""")
+    return "".join(parts)
 
+
+def _pq_l2_sql(sub: int):
     def l2(a: str, b: str) -> str:
         return (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -278,8 +313,18 @@ def _pq_oracle_sql(adc: bool, m: int = 4, k: int = 8, sample: int = 500,
             f"(acc, v) -> acc + v)"
         )
 
+    return l2
+
+
+def _pq_train_cte_parts(m: int = 4, k: int = 8, sample: int = 500,
+                        iters: int = 2, dim: int = 64, p: int = 9) -> str:
+    """The PQ portable-training + whole-table-encode CTE chain (no WITH
+    prefix; defines ``c{s}_{iters}`` codebooks and ``code{s}`` per-vector
+    codes) — shared by the pq_codes/pq_adc and ivfpq oracles."""
+    sub = dim // m
+    l2 = _pq_l2_sql(sub)
     parts = [f"""
-WITH pq_sample AS (
+pq_sample AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sidx,
          CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings
@@ -322,16 +367,70 @@ code{s} AS (
     FROM embeddings e CROSS JOIN c{s}_{iters} c
   ) WHERE rk = 1
 )""")
-    if not adc:
-        parts.append(f"""
-SELECT vec_id, {', '.join(f'CAST(c{s} AS INTEGER) AS code{s}' for s in range(m))}
-FROM {' JOIN '.join(['code0'] + [f'code{s} USING (vec_id)' for s in range(1, m)])}
-""")
-        return "".join(parts)
+    return "".join(parts)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style IVF+PQ search: route the query to its nprobe=3
+    nearest coarse cells (of 8), then ADC top-10 over the 4-byte PQ codes
+    of ONLY those cells' vectors — at 10^12 vectors this scans ~3/8 of a
+    4 GB code table instead of 256 GB of raw vectors.  Every stage
+    (coarse training, probe ranking, PQ training, encode, ADC) is
+    replayed bit-for-bit by the DuckDB oracle."""
+    import numpy as np
+
+    from ot_spark.webtext.simsearch import (
+        _round_half_away_np, pq_adc_topk, train_ivf_centroids_portable,
+        with_ivf_cell, with_pq_codes,
+    )
+
+    emb, books = _pq_books(spark, sf_dir)
+    cents = train_ivf_centroids_portable(emb, n_centroids=8, sample=500, iters=3)
+    qvec = list(emb.where("vec_id = 0").first().embedding)
+    dots = _round_half_away_np(cents @ np.asarray(qvec, dtype=np.float64), 9)
+    probes = sorted(range(len(cents)), key=lambda c: (-dots[c], c))[:3]
+    cand = with_ivf_cell(emb, cents, round_p=9).where(
+        F.col("ivf_cell").isin([int(c) for c in probes])
+    )
+    return pq_adc_topk(with_pq_codes(cand, books), qvec, books, k_out=10)
+
+
+def _ivfpq_oracle_sql(n_cells: int = 8, cell_iters: int = 3, nprobe: int = 3,
+                      m: int = 4, k: int = 8, sample: int = 500,
+                      pq_iters: int = 2, dim: int = 64, p: int = 9) -> str:
+    sub = dim // m
+    l2 = _pq_l2_sql(sub)
+    parts = [
+        "WITH ",
+        _ivf_train_cte_parts(n_cells, sample, cell_iters, p),
+        ", ",
+        _pq_train_cte_parts(m, k, sample, pq_iters, dim, p),
+        f""",
+qfull AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY round(list_dot_product(q.qv, c.v), {p}) DESC,
+                              c.cid) AS rk
+    FROM cent{cell_iters} c CROSS JOIN qfull q
+  ) WHERE rk <= {nprobe}
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(
+                                  CAST(e.embedding AS DOUBLE[]), c.v), {p}) DESC,
+                                       c.cid) AS rk
+    FROM embeddings e CROSS JOIN cent{cell_iters} c
+  ) WHERE rk = 1
+),
+cand AS (SELECT vec_id FROM cells JOIN probes ON probes.cid = cells.cell)""",
+    ]
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
-        # the query subvector must be a plain joined column: DuckDB
-        # rejects subqueries inside lambda expressions
         parts.append(f""",
 q{s} AS (
   SELECT (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS qv
@@ -339,7 +438,7 @@ q{s} AS (
 ),
 qd{s} AS (
   SELECT c.cid, round({l2('q.qv', 'c.cv')}, {p}) AS d
-  FROM c{s}_{iters} c CROSS JOIN q{s} q
+  FROM c{s}_{pq_iters} c CROSS JOIN q{s} q
 )""")
     joins = " JOIN ".join(
         ["code0"] + [f"code{s} USING (vec_id)" for s in range(1, m)]
@@ -349,6 +448,7 @@ qd{s} AS (
     parts.append(f"""
 SELECT vec_id, round({dsum}, {p}) AS approx_dist
 FROM {joins} {on}
+WHERE vec_id IN (SELECT vec_id FROM cand)
 ORDER BY approx_dist ASC, vec_id ASC
 LIMIT 10
 """)
@@ -1714,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "ivfpq_topk": q_ivfpq_topk,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2088,12 +2189,27 @@ def _ivf_oracle_sql(n_centroids: int = 8, sample: int = 500, iters: int = 3,
     whole-table argmax assignment.  Per-step rounding to 1e-9 on BOTH
     engines absorbs numpy-pairwise vs SQL-sequential summation drift (~1e-14)
     — see ``train_ivf_centroids_portable``."""
+    return "WITH " + _ivf_train_cte_parts(n_centroids, sample, iters, p) + f"""
+SELECT ivf_cell, CAST(count(*) AS BIGINT) AS n_vecs FROM (
+  SELECT e.vec_id, c.cid AS ivf_cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_dot_product(
+                                CAST(e.embedding AS DOUBLE[]), c.v), {p}) DESC,
+                                     c.cid) AS rk
+  FROM embeddings e CROSS JOIN cent{iters} c
+) WHERE rk = 1 GROUP BY ivf_cell"""
+
+
+def _ivf_train_cte_parts(n_centroids: int = 8, sample: int = 500,
+                         iters: int = 3, p: int = 9) -> str:
+    """The IVF portable-training CTE chain (no WITH prefix, ends at
+    ``cent{iters}``) — shared by the ivf_cells and ivfpq oracles."""
     norm = (
         "list_transform({v}, x -> round(x / greatest("
         "sqrt(list_dot_product({v}, {v})), 1e-12), %d))" % p
     )
     parts = [f"""
-WITH ivf_sample AS (
+ivf_sample AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS sidx,
          {norm.format(v="CAST(embedding AS DOUBLE[])")} AS v
   FROM embeddings
@@ -2124,15 +2240,6 @@ cent{i} AS (
               ELSE {norm.format(v="m.mv")} END AS v
   FROM cent{i - 1} c LEFT JOIN mean{i} m USING (cid)
 )""")
-    parts.append(f"""
-SELECT ivf_cell, CAST(count(*) AS BIGINT) AS n_vecs FROM (
-  SELECT e.vec_id, c.cid AS ivf_cell,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY round(list_dot_product(
-                                CAST(e.embedding AS DOUBLE[]), c.v), {p}) DESC,
-                                     c.cid) AS rk
-  FROM embeddings e CROSS JOIN cent{iters} c
-) WHERE rk = 1 GROUP BY ivf_cell""")
     return "".join(parts)
 
 
@@ -2523,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _PERPLEXITY_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
         "pq_codes": _pq_oracle_sql(adc=False),
         "pq_adc": _pq_oracle_sql(adc=True),
+        "ivfpq_topk": _ivfpq_oracle_sql(),
     }
 
 
