@@ -455,6 +455,26 @@ LIMIT 10
     return "".join(parts)
 
 
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 10 docs per source by smallest
+    md5(doc_id) — the data-mixing quota primitive."""
+    from ot_spark.webtext.curate import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, quota=10)
+
+
+_SAMPLE_MIX_ORACLE_SQL = """
+SELECT doc_id, source, CAST(pick AS BIGINT) AS pick FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick
+  FROM documents
+) WHERE pick <= 10
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1815,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "ivfpq_topk": q_ivfpq_topk,
+        "sample_mix": q_sample_mix,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2631,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _pq_oracle_sql(adc=False),
         "pq_adc": _pq_oracle_sql(adc=True),
         "ivfpq_topk": _ivfpq_oracle_sql(),
+        "sample_mix": _SAMPLE_MIX_ORACLE_SQL,
     }
 
 

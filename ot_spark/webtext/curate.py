@@ -250,3 +250,29 @@ def tfidf_top_terms(df: DataFrame, n_docs: int, k: int = 5) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("source", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the ``quota`` documents with the
+    smallest md5(id) per stratum — the data-mixing primitive (fix the
+    per-source/per-language ratio of a training mix) with a stable,
+    engine-independent choice of rows (no RNG, no sampleBy seed drift;
+    re-running on the same table always picks the same documents).
+
+    One shuffle on the stratum key; Spark plans the top-``quota`` as
+    WindowGroupLimit (partial before the exchange, final after), so each
+    map task forwards at most ``quota`` rows per stratum — the exchange
+    carries O(strata x quota), not the corpus."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .select(id_col, strata_col, F.col("__rn").cast("long").alias("pick"))
+    )

@@ -355,3 +355,17 @@ def test_pq_roundtrip_properties(spark):
 
     top = pq_adc_topk(codes, [float(x) for x in vecs[5]], books, k_out=5).collect()
     assert len(top) == 5 and top[0].approx_dist >= 0
+
+
+def test_stratified_sample_plan_and_determinism(spark):
+    """Quota sample is deterministic across runs and plans as
+    WindowGroupLimit (partial rank before the exchange)."""
+    from ot_spark.webtext.curate import stratified_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {(r.doc_id, r.pick) for r in stratified_sample(df, 5).collect()}
+    b = {(r.doc_id, r.pick) for r in stratified_sample(df, 5).collect()}
+    assert a == b and len(a) == 15
+    plan = _formatted_plan(stratified_sample(df, 5))
+    assert "WindowGroupLimit" in plan
