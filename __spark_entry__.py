@@ -475,6 +475,14 @@ SELECT doc_id, source, CAST(pick AS BIGINT) AS pick FROM (
 """
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing bin/offset assignment (512-token bins per source)."""
+    from ot_spark.webtext.curate import pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_bins(docs, budget=512)
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1836,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "ivfpq_topk": q_ivfpq_topk,
         "sample_mix": q_sample_mix,
+        "pack_bins": q_pack_bins,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2653,6 +2662,23 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc": _pq_oracle_sql(adc=True),
         "ivfpq_topk": _ivfpq_oracle_sql(),
         "sample_mix": _SAMPLE_MIX_ORACLE_SQL,
+        "pack_bins": f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(prefix // 512 AS BIGINT) AS bin,
+       CAST(prefix % 512 AS BIGINT) AS "offset"
+FROM p
+""",
     }
 
 

@@ -276,3 +276,37 @@ def stratified_sample(
         .where(F.col("__rn") <= quota)
         .select(id_col, strata_col, F.col("__rn").cast("long").alias("pick"))
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int = 512,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing assignment: concatenate documents in deterministic
+    (``id_col``) order within each stratum and cut at every ``budget``
+    tokens — each document gets the bin its first token lands in and its
+    offset within that bin (the boundary-splitting packing a pretraining
+    tokenizer run performs; documents longer than the remainder spill
+    into the next bin).
+
+    Pure prefix-sum arithmetic: a running-sum window per stratum, all
+    integers, no UDF.  The window is per-stratum, so parallelism = number
+    of strata (shards); a 100 TB run packs within shards by construction
+    — a single global ordering would serialize into one task and is
+    deliberately not offered."""
+    toks = with_tokens(df, text_col)
+    n = F.size(F.col(TOKENS_COL)).cast("long")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        toks.select(id_col, strata_col, n.alias("n_tokens"))
+        .withColumn("bin", F.floor(prefix / budget).cast("long"))
+        .withColumn("offset", (prefix % budget).cast("long"))
+    )

@@ -369,3 +369,19 @@ def test_stratified_sample_plan_and_determinism(spark):
     assert a == b and len(a) == 15
     plan = _formatted_plan(stratified_sample(df, 5))
     assert "WindowGroupLimit" in plan
+
+
+def test_pack_bins_semantics(spark):
+    """Hand-checked packing: budget 10, one stratum, docs of 4/8/3/10
+    tokens -> prefixes 0/4/12/15 -> bins 0/0/1/1, offsets 0/4/2/5."""
+    from ot_spark.webtext.curate import pack_bins
+
+    rows = [
+        (1, "a b c d", "s"),
+        (2, "e f g h i j k l", "s"),
+        (3, "m n o", "s"),
+        (4, "p q r s t u v w x y", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: (r.bin, r.offset) for r in pack_bins(df, budget=10).collect()}
+    assert got == {1: (0, 0), 2: (0, 4), 3: (1, 2), 4: (1, 5)}
