@@ -483,6 +483,35 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(docs, budget=512)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing an exact 8-token
+    span with the held-out set (doc_id % 10 == 0 plays the benchmark)."""
+    from ot_spark.webtext.dedup import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_flags(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0")
+    )
+
+
+def _decontaminate_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, win FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS win
+    FROM t WHERE len(toks) >= 8
+  )
+),
+ev AS (SELECT DISTINCT win FROM w WHERE doc_id % 10 = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM w WHERE doc_id % 10 != 0 AND win IN (SELECT win FROM ev)
+GROUP BY 1
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1845,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "sample_mix": q_sample_mix,
         "pack_bins": q_pack_bins,
+        "decontaminate": q_decontaminate,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2662,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc": _pq_oracle_sql(adc=True),
         "ivfpq_topk": _ivfpq_oracle_sql(),
         "sample_mix": _SAMPLE_MIX_ORACLE_SQL,
+        "decontaminate": _decontaminate_oracle_sql(),
         "pack_bins": f"""
 WITH t AS (
   SELECT doc_id, source,

@@ -591,3 +591,41 @@ def substring_dup_pairs(
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the Lee et al. / GPT-3-appendix 'dirty
+    document' check, public): a training document is contaminated when it
+    shares at least one exact ``window``-token span with ANY evaluation
+    document; returns (id, n_shared) for contaminated docs, n_shared =
+    distinct contaminated spans.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs, not
+    10^12) — its distinct window set BROADCASTS, so the corpus-sized
+    training side is one map-side explode + broadcast semi-join + groupBy:
+    no corpus-vs-corpus shuffle anywhere."""
+
+    def _windows(df: DataFrame) -> DataFrame:
+        tok = with_tokens(df.select(id_col, text_col), text_col)
+        toks = F.col(TOKENS_COL)
+        wins = F.filter(
+            F.transform(
+                toks, lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, window))
+            ),
+            lambda _s, i: i <= F.size(toks) - window,
+        )
+        return tok.select(
+            F.col(id_col), F.explode(F.array_distinct(wins)).alias("win")
+        )
+
+    ev = _windows(eval_df).select("win").distinct()
+    hits = _windows(train).join(F.broadcast(ev), "win", "left_semi")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )

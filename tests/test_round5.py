@@ -385,3 +385,28 @@ def test_pack_bins_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = {r.doc_id: (r.bin, r.offset) for r in pack_bins(df, budget=10).collect()}
     assert got == {1: (0, 0), 2: (0, 4), 3: (1, 2), 4: (1, 5)}
+
+
+def test_contamination_flags(spark):
+    """Hand-checked: train doc 1 shares the eval doc's 8-token span; doc 2
+    shares nothing; n_shared counts distinct contaminated spans."""
+    from ot_spark.webtext.dedup import contamination_flags
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    ev = spark.createDataFrame(
+        [(100, f"{span} trailing eval words")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, f"prefix {span} suffix words here"),
+            (2, "completely different text with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in contamination_flags(tr, ev).collect()}
+    # doc 1 contains 3 distinct 8-token windows that also appear in the
+    # eval doc ("prefix a..h", windows sliding through the shared span)?
+    # Only windows fully inside the shared region match: eval windows are
+    # {span, span[1:]+trailing...}; train windows overlapping 'prefix'/
+    # 'suffix' differ -> exactly the pure span window matches.
+    assert got == {1: 1}
