@@ -512,6 +512,55 @@ GROUP BY 1
 """
 
 
+def q_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition panel: top/dup n-gram fractions, n=2..4."""
+    from ot_spark.webtext.textstats import with_repetition_full
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_full(docs).select(
+        "doc_id",
+        "top_2gram_frac", "dup_2gram_frac",
+        "top_3gram_frac", "dup_3gram_frac",
+        "top_4gram_frac", "dup_4gram_frac",
+        "keep_repetition_full",
+    )
+
+
+def _repetition_full_oracle_sql() -> str:
+    from ot_spark.webtext.textstats import GOPHER_DUP_THRESH, GOPHER_TOP_THRESH
+
+    ctes, fracs, keeps = [], [], []
+    for n in (2, 3, 4):
+        ctes.append(f"""
+g{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {n - 2}, 1)),
+                i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))) AS g
+  FROM t
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+s{n} AS (
+  SELECT doc_id AS d{n}, max(c) AS topc,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dups
+  FROM c{n} GROUP BY 1
+)""")
+        tot = f"greatest(len(toks) - {n - 1}, 0)"
+        top = f"CASE WHEN {tot} > 0 THEN coalesce(s{n}.topc, 0) / {tot} ELSE 0 END"
+        dup = f"CASE WHEN {tot} > 0 THEN coalesce(s{n}.dups, 0) / {tot} ELSE 0 END"
+        fracs.append(f"round({top}, 6) AS top_{n}gram_frac")
+        fracs.append(f"round({dup}, 6) AS dup_{n}gram_frac")
+        keeps.append(f"({top}) <= {GOPHER_TOP_THRESH[n]}")
+        keeps.append(f"({dup}) <= {GOPHER_DUP_THRESH[n]}")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),{','.join(ctes)}
+SELECT t.doc_id, {', '.join(fracs)},
+       {' AND '.join(keeps)} AS keep_repetition_full
+FROM t LEFT JOIN s2 ON s2.d2 = t.doc_id
+       LEFT JOIN s3 ON s3.d3 = t.doc_id
+       LEFT JOIN s4 ON s4.d4 = t.doc_id
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1875,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": q_sample_mix,
         "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
+        "repetition_full": q_repetition_full,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
     }
@@ -2693,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _ivfpq_oracle_sql(),
         "sample_mix": _SAMPLE_MIX_ORACLE_SQL,
         "decontaminate": _decontaminate_oracle_sql(),
+        "repetition_full": _repetition_full_oracle_sql(),
         "pack_bins": f"""
 WITH t AS (
   SELECT doc_id, source,

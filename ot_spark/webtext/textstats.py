@@ -219,3 +219,87 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             "keep_repetition": (top_frac <= 0.18) & (dup_frac <= 0.5),
         }
     ).drop(TOKENS_COL)
+
+
+def ngrams_col(tokens: Column, n: int) -> Column:
+    """Adjacent word n-grams WITH multiplicity (generalizes bigrams_col);
+    ``tokens`` must be a bound column."""
+    return F.filter(
+        F.transform(tokens, lambda _t, i: F.concat_ws(" ", F.slice(tokens, i + 1, n))),
+        lambda _s, i: i <= F.size(tokens) - n,
+    )
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """(longest equal run, total elements inside runs of length >= 2) over
+    a SORTED array, as one fold — run length == multiplicity, so this
+    yields the top-gram count and the duplicated-gram count without any
+    explode/groupBy (zero shuffles, same as with_repetition's fold)."""
+    fin = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dups"),
+        ),
+        lambda acc, s: F.struct(
+            s.alias("prev"),
+            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+            # close the previous run when the value changes
+            (
+                acc.dups
+                + F.when(
+                    (s != acc.prev) & (acc.run > 1), acc.run
+                ).otherwise(F.lit(0))
+            ).alias("dups"),
+        ),
+        # finisher: close the final run
+        lambda acc: F.struct(
+            acc.best.alias("best"),
+            (acc.dups + F.when(acc.run > 1, acc.run).otherwise(F.lit(0))).alias(
+                "dups"
+            ),
+        ),
+    )
+    return fin
+
+
+# Gopher Table A1 thresholds (token-count approximation of the paper's
+# character-fraction variant — documented, identical on both engines)
+GOPHER_TOP_THRESH = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESH = {2: 0.40, 3: 0.35, 4: 0.30}
+
+
+def with_repetition_full(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full Gopher repetition panel: for n in 2..4, the mass of the
+    most frequent n-gram (``top_{n}gram_frac``) and the fraction of
+    n-grams occurring more than once (``dup_{n}gram_frac``), plus the
+    combined ``keep_repetition_full`` gate.  Everything is one map stage:
+    three sorted-array folds over the SAME bound token column — no
+    explode, no shuffle, no second tokenizer evaluation."""
+    tok = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    stat_cols = {
+        f"__st{n}": _run_stats(F.array_sort(ngrams_col(toks, n))) for n in (2, 3, 4)
+    }
+    out = tok.withColumns(stat_cols).withColumn(
+        "__ntok", F.size(toks)
+    )
+    keep = F.lit(True)
+    frac_cols = {}
+    for n in (2, 3, 4):
+        total = F.greatest(F.col("__ntok") - (n - 1), F.lit(0))
+        top = F.when(total > 0, F.col(f"__st{n}.best") / total).otherwise(F.lit(0.0))
+        dup = F.when(total > 0, F.col(f"__st{n}.dups") / total).otherwise(F.lit(0.0))
+        frac_cols[f"top_{n}gram_frac"] = F.round(top, 6)
+        frac_cols[f"dup_{n}gram_frac"] = F.round(dup, 6)
+        keep = keep & (top <= GOPHER_TOP_THRESH[n]) & (dup <= GOPHER_DUP_THRESH[n])
+    return (
+        out.withColumns(frac_cols)
+        .withColumn("keep_repetition_full", keep)
+        .drop(TOKENS_COL, "__ntok", *stat_cols)
+    )

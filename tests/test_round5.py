@@ -410,3 +410,20 @@ def test_contamination_flags(spark):
     # {span, span[1:]+trailing...}; train windows overlapping 'prefix'/
     # 'suffix' differ -> exactly the pure span window matches.
     assert got == {1: 1}
+
+
+def test_repetition_full_hand_checked(spark):
+    """'a b a b a b c' -> 2-grams [ab, ba, ab, ba, bc, ... ] checked by
+    hand: top 2-gram 'a b' x3 of 6, dup 2-grams ab(3)+ba(2)=5 of 6."""
+    from ot_spark.webtext.textstats import with_repetition_full
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c")], "doc_id long, text string"
+    )
+    r = with_repetition_full(df).first()
+    assert r.top_2gram_frac == round(3 / 6, 6)
+    assert r.dup_2gram_frac == round(5 / 6, 6)
+    # 3-grams: aba, bab, aba, bab, abc -> top 2/5, dups 4/5
+    assert r.top_3gram_frac == round(2 / 5, 6)
+    assert r.dup_3gram_frac == round(4 / 5, 6)
+    assert r.keep_repetition_full is False
