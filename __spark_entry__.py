@@ -584,6 +584,47 @@ FROM t LEFT JOIN s2 ON s2.d2 = t.doc_id
 """
 
 
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity proxy (lam=0.7)."""
+    from ot_spark.webtext.curate import bigram_logprob
+    from ot_spark.webtext.dedup import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("t")).count()
+    )
+    return bigram_logprob(docs, total_tokens=total)
+
+
+_PERPLEXITY_BIGRAM_ORACLE_SQL_TMPL = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i, toks[i] AS term,
+         CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+),
+uni AS (SELECT term, count(*) AS cu FROM pos GROUP BY 1),
+bi AS (SELECT prev, term, count(*) AS cb FROM pos WHERE i > 1 GROUP BY 1, 2),
+tot AS (SELECT sum(cu) AS n FROM uni),
+s AS (
+  SELECT p.doc_id,
+         CASE WHEN p.i = 1
+              THEN -ln(u.cu / CAST(tot.n AS DOUBLE))
+              ELSE -ln(0.7 * (b.cb / CAST(up.cu AS DOUBLE))
+                       + 0.3 * (u.cu / CAST(tot.n AS DOUBLE)))
+         END AS nl
+  FROM pos p
+  JOIN uni u ON u.term = p.term
+  LEFT JOIN uni up ON up.term = p.prev
+  LEFT JOIN bi b ON b.prev = p.prev AND b.term = p.term
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(nl), 6) AS avg_neg_logp
+FROM s GROUP BY 1
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
@@ -1941,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "tfidf_terms": q_tfidf_terms,
         "perplexity": q_perplexity,
+        "perplexity_bigram": q_perplexity_bigram,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
         "ivfpq_topk": q_ivfpq_topk,
@@ -2761,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _corpus_clean_oracle_sql(),
         "tfidf_terms": _tfidf_oracle_sql(),
         "perplexity": _PERPLEXITY_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
+        "perplexity_bigram": _PERPLEXITY_BIGRAM_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
         "pq_codes": _pq_oracle_sql(adc=False),
         "pq_adc": _pq_oracle_sql(adc=True),
         "ivfpq_topk": _ivfpq_oracle_sql(),

@@ -310,3 +310,76 @@ def pack_bins(
         .withColumn("bin", F.floor(prefix / budget).cast("long"))
         .withColumn("offset", (prefix % budget).cast("long"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    total_tokens: int,
+    lam: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram LM score per document:
+    p(t_i | t_{i-1}) = lam * c(t_{i-1} t_i)/c(t_{i-1})
+                     + (1 - lam) * c(t_i)/N,
+    first token scored by the unigram; avg_neg_logp = -mean(ln p) — the
+    n-gram step up from ``unigram_logprob`` (same train-then-score shape
+    CCNet uses with a full LM).
+
+    Plan: positions from ONE posexplode (the token array is carried so
+    the predecessor is an element_at, not a self-join); unigram and
+    bigram count tables aggregate map-side and BROADCAST back onto the
+    position stream (vocabulary-scale; AQE picks the join at 100 TB);
+    within-corpus scoring means every (prev, term) pair exists in the
+    bigram table, so the joins stay inner."""
+    tok = with_tokens(df, text_col)
+    pos = tok.select(
+        "doc_id",
+        F.col(TOKENS_COL).alias("__t"),
+        F.posexplode(F.col(TOKENS_COL)).alias("i", "term"),
+    ).select(
+        "doc_id",
+        "i",
+        "term",
+        F.when(F.col("i") > 0, F.element_at("__t", F.col("i"))).alias("prev"),
+    )
+    # 1.0 - 0.7 is 0.30000000000000004 in IEEE double, one ulp OFF the SQL
+    # literal 0.3 the oracle uses — re-round so both engines interpolate
+    # with the identical coefficient (round(6) would usually absorb the
+    # difference, but a score landing on a rounding boundary would not)
+    om = round(1.0 - lam, 10)
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    bi = (
+        pos.where("i > 0")
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    up = uni.select(F.col("term").alias("prev"), F.col("cu").alias("cp"))
+    n = float(total_tokens)
+    first = (
+        pos.where("i = 0")
+        .join(F.broadcast(uni), "term")
+        .select("doc_id", (-F.log(F.col("cu") / n)).alias("nl"))
+    )
+    rest = (
+        pos.where("i > 0")
+        .join(F.broadcast(uni), "term")
+        .join(F.broadcast(up), "prev")
+        .join(F.broadcast(bi), ["prev", "term"])
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    lam * (F.col("cb") / F.col("cp"))
+                    + om * (F.col("cu") / n)
+                )
+            ).alias("nl"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("nl"), 6).alias("avg_neg_logp"),
+        )
+    )

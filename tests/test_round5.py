@@ -427,3 +427,22 @@ def test_repetition_full_hand_checked(spark):
     assert r.top_3gram_frac == round(2 / 5, 6)
     assert r.dup_3gram_frac == round(4 / 5, 6)
     assert r.keep_repetition_full is False
+
+
+def test_bigram_logprob_hand_checked(spark):
+    """'a b a b': uni a=2,b=2,N=4; bi ab=2,ba=1.
+    nl1=-ln(2/4); nl2=-ln(.7*(2/2)+.3*.5); nl3=-ln(.7*(1/2)+.3*.5);
+    nl4=nl2."""
+    import math
+
+    from ot_spark.webtext.curate import bigram_logprob
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = bigram_logprob(df, total_tokens=4).first()
+    exp = -(
+        math.log(0.5)
+        + 2 * math.log(0.7 * 1.0 + 0.3 * 0.5)
+        + math.log(0.7 * 0.5 + 0.3 * 0.5)
+    ) / 4
+    assert r.n_tokens == 4
+    assert r.avg_neg_logp == round(exp, 6)
