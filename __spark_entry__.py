@@ -584,16 +584,26 @@ FROM t LEFT JOIN s2 ON s2.d2 = t.doc_id
 """
 
 
+def _total_tokens(spark: SparkSession, sf_dir: str) -> int:
+    """Scalar corpus token count, memoized per sf_dir (deterministic;
+    shared by both LM perplexity gates)."""
+    from ot_spark.webtext.dedup import tokens_col
+
+    key = ("ntok", sf_dir)
+    if key not in _TRAIN_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _TRAIN_CACHE[key] = docs.select(
+            F.explode(tokens_col(F.col("text"))).alias("t")
+        ).count()
+    return _TRAIN_CACHE[key]
+
+
 def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM perplexity proxy (lam=0.7)."""
     from ot_spark.webtext.curate import bigram_logprob
-    from ot_spark.webtext.dedup import tokens_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    total = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("t")).count()
-    )
-    return bigram_logprob(docs, total_tokens=total)
+    return bigram_logprob(docs, total_tokens=_total_tokens(spark, sf_dir))
 
 
 _PERPLEXITY_BIGRAM_ORACLE_SQL_TMPL = """
@@ -628,13 +638,9 @@ FROM s GROUP BY 1
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
-    from ot_spark.webtext.dedup import tokens_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    total = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("t")).count()
-    )
-    return unigram_logprob(docs, total_tokens=total)
+    return unigram_logprob(docs, total_tokens=_total_tokens(spark, sf_dir))
 
 
 _PERPLEXITY_ORACLE_SQL_TMPL = """
