@@ -1,0 +1,99 @@
+"""Webtext operators at 400x gate scale: 2M synthetic documents.
+
+The correctness gate runs at 500-5000 documents; this probe demonstrates
+the same operators at 2,000,000 documents on local[32] — JVM-only
+generation (no Python row functions), fixed vocabulary word-salad with
+planted exact duplicates (0.5%) so the dedup paths do real work.
+
+Writes BENCH/WEBTEXT_SCALE.json: docs/sec per operator, min-of-2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ot_spark.session import get_spark  # noqa: E402
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_WEBTEXT_DOCS", "2000000"))
+VOCAB = [
+    "the", "and", "for", "with", "data", "spark", "query", "table", "row",
+    "join", "merge", "sort", "filter", "agg", "window", "batch", "stream",
+    "hash", "key", "value", "fast", "slow", "big", "small", "line", "part",
+    "order", "group", "scan", "column", "vector", "dup", "a", "is", "to",
+    "of", "in", "it", "that", "customer",
+]
+
+
+def docs_df(spark):
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(0, N_DOCS, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias("source"),
+    )
+    # planted exact duplicates: ids = 0 mod 200 copy the text of id+1
+    eff = F.when(F.col("doc_id") % 200 == 0, F.col("doc_id") + 1).otherwise(
+        F.col("doc_id")
+    )
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (F.lit(20) + eff % 80).cast("int")),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.hash(eff, i), F.lit(len(VOCAB))) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    return base.withColumn("text", text)
+
+
+def main() -> None:
+    spark = get_spark("webtext_scale", parallelism=32, shuffle_partitions=64)
+    path = f"/tmp/webtext_scale_{N_DOCS}.parquet"
+    if not os.path.exists(path):
+        docs_df(spark).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    from ot_spark.webtext.curate import corpus_clean, pack_bins, stratified_sample
+    from ot_spark.webtext.dedup import with_minhash
+    from ot_spark.webtext.textstats import with_repetition_full
+
+    def run(df):
+        # count() lets Catalyst prune every computed column to nothing;
+        # the noop sink materializes ALL output columns (real work)
+        df.write.format("noop").mode("overwrite").save()
+        return None
+
+    ops = {
+        "corpus_clean": lambda: run(corpus_clean(docs)),
+        "minhash_signatures": lambda: run(with_minhash(docs)),
+        "repetition_full": lambda: run(with_repetition_full(docs)),
+        "pack_bins": lambda: run(pack_bins(docs)),
+        "stratified_sample": lambda: run(stratified_sample(docs, 1000)),
+    }
+    out = {"n_docs": N_DOCS, "cpus": 32, "ops": {}}
+    for name, fn in ops.items():
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        sec = min(times)
+        out["ops"][name] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(N_DOCS / sec, 1),
+            }
+        print(name, out["ops"][name], flush=True)
+    with open(os.path.join(REPO, "BENCH", "WEBTEXT_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
