@@ -105,7 +105,20 @@ def main() -> None:
     q_times: dict[str, object] = {}
     q_cold: dict[str, object] = {}
     errors: dict[str, str] = {}
+    skipped: list[str] = []
+    # Soft deadline for the per-query phase: under a 2-4x noisy-neighbor
+    # window, 60+ run-twice queries could push the whole bench past an
+    # external timeout and TRUNCATE stdout — the r4 parsed:null failure
+    # via a different path.  Past the deadline, remaining queries are
+    # SKIPPED (named in the output) and the flagship + final JSON line
+    # always print.  Quiet-host runs never hit this.
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET", "360")
+    )
     for name, fn in entrymod.queries().items():
+        if time.time() > deadline:
+            skipped.append(name)
+            continue
         runs = []
         try:
             for _ in range(2):
@@ -149,9 +162,10 @@ def main() -> None:
         "flagship_steady_median_last5_sec": flagship_steady,
         "protocol": "per-query run-twice-min; write-query cap "
         + os.environ.get("SPARK_GRAFT_WRITE_QUERY_CAP", ""),
-        "active_queries": sorted(q_times) + sorted(errors),
+        "active_queries": sorted(q_times) + sorted(errors) + sorted(skipped),
         "bench_pages": n,
         "errors": errors,
+        "skipped_on_deadline": skipped,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "BENCH_DETAIL.json"
@@ -179,6 +193,8 @@ def main() -> None:
         payload["flagship_steady_sec"] = flagship_steady
     if errors:
         payload["errors"] = errors
+    if skipped:
+        payload["skipped_on_deadline"] = skipped
     print(json.dumps(payload))
     if errors:
         # loud failure channel: the JSON line above always prints (the
