@@ -446,3 +446,19 @@ def test_bigram_logprob_hand_checked(spark):
     ) / 4
     assert r.n_tokens == 4
     assert r.avg_neg_logp == round(exp, 6)
+
+
+def test_meta_rows_paths(spark, tmp_path):
+    """_meta_rows: pyarrow fast path on local dirs, None when absent, and
+    the Spark-fallback branch for non-local URIs (absent -> None)."""
+    from ot_spark import lineage as lin
+
+    p = str(tmp_path / "log")
+    assert lin._meta_rows(spark, p) is None  # absent local dir
+    lin._tiny_df(spark, [(1, "a")], "x long, y string").write.parquet(p)
+    rows = lin._meta_rows(spark, p)
+    assert [(r.x, r.y) for r in rows] == [(1, "a")]
+    # file:// prefix routes through the same local fast path
+    assert [(r.x, r.y) for r in lin._meta_rows(spark, f"file://{p}")] == [(1, "a")]
+    # non-local scheme -> Spark fallback; unreadable -> None, no raise
+    assert lin._meta_rows(spark, "memory://does/not/exist") is None
