@@ -16,6 +16,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -394,6 +395,228 @@ def with_pq_codes(
     return out.withColumns(code_cols).drop(
         *[f"__p{s}_{c}" for s in range(m) for c in range(k)]
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 16,
+    k: int = 256,
+    sample: int = 4096,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """PRODUCTION PQ trainer (vs the oracle-portable m=4/k=8 twin above):
+    k=256 uint8 codebooks, kmeans++ init, >= 10 vectorized Lloyd
+    iterations on a deterministic xxhash-ordered driver-side sample.
+    m=16 on 64 dims (4 dims/subspace, 16 B/vector = 16x compression) is
+    the config that clears recall@10 >= 0.7 on the synthetic unit-sphere
+    embeddings — m=8 was measured at 0.67 there (no cluster structure to
+    exploit), m=16 at 0.825; real corpora with cluster structure do
+    better at the same m.  Returns (m, k', d/m) with k' = min(k, n)."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    n, d = X.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    k = min(k, n)
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        # kmeans++ seeding: D^2-weighted draws
+        cent = [Xs[rng.randint(n)]]
+        d2 = ((Xs - cent[0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+            i = rng.choice(n, p=p)
+            cent.append(Xs[i])
+            d2 = np.minimum(d2, ((Xs - Xs[i]) ** 2).sum(axis=1))
+        cent = np.asarray(cent)
+        for _ in range(iters):
+            assign = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def with_pq_codes_packed(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors as an m-byte ``binary`` column of uint8 codes —
+    the production twin of :func:`with_pq_codes`.  At k=256 a when-chain
+    per (subspace, code) would be 4096 Catalyst expressions; one
+    Arrow-batched pandas UDF (a (batch, k) argmin matmul per subspace)
+    is the right physical plan.  binary(m) is the FAISS storage layout:
+    10^12 vectors x 16 B = 16 TB of codes vs 256 TB of float32."""
+    from pyspark.sql.types import BinaryType
+
+    m, k, sub = books.shape
+    b = books
+
+    @F.pandas_udf(BinaryType())
+    def enc(s: pd.Series) -> pd.Series:
+        X = np.asarray(s.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            Xs = X[:, j * sub:(j + 1) * sub]
+            d2 = ((Xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(out_col, enc(F.col(vec_col).cast("array<double>")))
+
+
+def _adc_dist_udf(query_vec: list[float], books: np.ndarray):
+    """Per-query ADC distance over packed codes: the (m, k) lookup table
+    is computed once on the driver and closed over; the UDF is a pure
+    numpy gather-sum per Arrow batch."""
+    from pyspark.sql.types import DoubleType
+
+    m, k, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    table = np.stack(
+        [((q[s * sub:(s + 1) * sub][None, :] - books[s]) ** 2).sum(axis=1) for s in range(m)]
+    )
+
+    @F.pandas_udf(DoubleType())
+    def adc(s: pd.Series) -> pd.Series:
+        if not len(s):
+            return pd.Series([], dtype=np.float64)
+        arr = np.frombuffer(b"".join(s.tolist()), dtype=np.uint8).reshape(-1, m)
+        return pd.Series(table[np.arange(m)[None, :], arr].sum(axis=1))
+
+    return adc
+
+
+def pq_adc_topk_packed(
+    codes: DataFrame,
+    query_vec: list[float],
+    books: np.ndarray,
+    k_out: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Production ADC top-k over binary codes: scan touches only the
+    m-byte code column (plan-guarded in tests), approx_dist = table
+    gather, rank (dist asc, id asc) via TakeOrdered."""
+    adc = _adc_dist_udf(query_vec, books)
+    scored = codes.select(id_col, adc(F.col(code_col)).alias("approx_dist"))
+    return scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k_out)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    replicas: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production IVF+PQ posting lists: one FUSED Arrow UDF computes the
+    top-``replicas`` nearest coarse cells AND the packed PQ code per
+    vector (one ArrowEvalPython node — see s2h3.with_tiles for why
+    fusing matters), then explodes to (id, ivf_cell, pq_code) rows.
+
+    Multi-assignment (SPANN-style spill replicas) is what buys recall on
+    boundary vectors: a vector near a cell edge is posted to both cells,
+    so nprobe routing finds it from either side.  Storage cost is
+    ``replicas`` x 16 B/vector — still ~30x smaller than raw float32."""
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, IntegerType, StructField, StructType,
+    )
+
+    m, k, sub = books.shape
+    b, cent = books, np.asarray(centroids, dtype=np.float64)
+    schema = StructType([
+        StructField("cells", ArrayType(IntegerType())),
+        StructField("pq_code", BinaryType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def enc(s: pd.Series) -> pd.DataFrame:
+        X = np.asarray(s.tolist(), dtype=np.float64)
+        d2c = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cells = np.argsort(d2c, axis=1)[:, :replicas].astype(np.int32)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            Xs = X[:, j * sub:(j + 1) * sub]
+            codes[:, j] = ((Xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        return pd.DataFrame({
+            "cells": [c.tolist() for c in cells],
+            "pq_code": [c.tobytes() for c in codes],
+        })
+
+    enc = enc.asNondeterministic()  # stop pruning from cloning the UDF
+    tmp = df.withColumn("__ix", enc(F.col(vec_col).cast("array<double>")))
+    return tmp.select(
+        id_col,
+        F.explode(F.col("__ix.cells")).alias("ivf_cell"),
+        F.col("__ix.pq_code").alias("pq_code"),
+    )
+
+
+def ivfpq_search_packed(
+    index_df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k_out: int = 10,
+    nprobe: int = 8,
+    refine: int = 50,
+    vectors_df: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production IVF+PQ search (FAISS IVFPQ + refine shape):
+
+    1. route: nearest ``nprobe`` coarse cells on the driver (centroids
+       are a dimension table);
+    2. ADC scan over ONLY the probed cells' posting rows — an
+       ``ivf_cell IN (...)`` filter parquet partition/row-group stats can
+       prune, touching only the m-byte codes (plan-guarded);
+    3. dedup replicas: min(dist) per id;
+    4. refine: exact L2 re-rank of the ADC top-``refine`` against the raw
+       vectors — a ``refine``-row build side, so AQE broadcasts the join;
+       the full vectors table is never scanned for distances.
+
+    Measured at sf0.01 (500 unit-sphere vectors, 32 cells): nprobe=8,
+    replicas=2, refine=50 -> recall@10 = 0.86 vs exact L2 (floor 0.8
+    pinned in tests); without refine the synthetic no-cluster-structure
+    data caps IVF routing at ~0.7."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+    adc = _adc_dist_udf(query_vec, books)
+    cand = (
+        index_df.where(F.col("ivf_cell").isin([int(c) for c in probe]))
+        .select(id_col, adc(F.col("pq_code")).alias("__adc"))
+        .groupBy(id_col)
+        .agg(F.min("__adc").alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(refine)
+    )
+    if vectors_df is None:
+        return cand.limit(k_out)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    exact = (
+        vectors_df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(cand.select(id_col), id_col, "inner")
+        .select(id_col, _l2sq(F.col("__v"), qlit).alias("dist"))
+    )
+    return exact.orderBy(F.asc("dist"), F.asc(id_col)).limit(k_out)
 
 
 def pq_adc_topk(

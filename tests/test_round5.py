@@ -466,19 +466,21 @@ def test_meta_rows_paths(spark, tmp_path):
 
 def test_pq_adc_recall(spark):
     """ADC quality, not just determinism: recall@10 of PQ ADC vs exact L2
-    over the sf0.001 embeddings, averaged over 5 query vectors.  PQ with
-    m=4, k=8 on 64 dims is a coarse 4-byte code; >= 0.3 mean recall vs
-    exact (random would be ~10/500 = 0.02) shows the codes carry real
-    geometry."""
+    over the sf0.001 embeddings, averaged over 5 query vectors — on the
+    PRODUCTION config (m=16, k=256 uint8 codebooks, kmeans++, 10 Lloyd
+    iters; binary-packed codes + Arrow ADC).  Measured 0.88; floor 0.7.
+    The oracle-portable m=4/k=8 twin stays gate-only — its 3-bit codes
+    were measured at 0.14 recall here (too coarse to claim quality), which
+    is exactly why the production path exists."""
     import numpy as np
 
     from ot_spark.webtext.simsearch import (
-        pq_adc_topk, train_pq_codebooks_portable, with_pq_codes,
+        pq_adc_topk_packed, train_pq_codebooks, with_pq_codes_packed,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    books = train_pq_codebooks_portable(emb, m=4, k=8, sample=500, iters=2)
-    codes = with_pq_codes(emb, books)
+    books = train_pq_codebooks(emb, m=16, k=256, sample=4096, iters=10)
+    codes = with_pq_codes_packed(emb, books)
     rows = emb.collect()
     X = np.asarray([r.embedding for r in rows], dtype=np.float64)
     ids = np.asarray([r.vec_id for r in rows])
@@ -487,7 +489,8 @@ def test_pq_adc_recall(spark):
         q = X[qi]
         exact = set(ids[np.argsort(((X - q) ** 2).sum(axis=1))[:10]].tolist())
         approx = {
-            r.vec_id for r in pq_adc_topk(codes, q.tolist(), books, k_out=10).collect()
+            r.vec_id
+            for r in pq_adc_topk_packed(codes, q.tolist(), books, k_out=10).collect()
         }
         recalls.append(len(exact & approx) / 10)
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
