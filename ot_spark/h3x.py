@@ -623,7 +623,12 @@ def h3x_cell_center(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(ids, dtype=np.int64)
     if not len(ids):
         return np.empty(0), np.empty(0)
-    res = int(h3x_res(ids[:1])[0])
+    res_all = h3x_res(ids)
+    res = int(res_all[0])
+    if not (res_all == res).all():
+        # same guard as h3x_neighbors: the digit slicing below is keyed to
+        # ONE depth — a mixed-resolution array would silently mis-decode
+        raise ValueError("h3x_cell_center requires uniform resolution")
     bc = h3x_base_cell(ids)
     digits = np.stack(
         [(ids >> np.int64(3 * (15 - rr))) & 7 for rr in range(1, res + 1)], axis=1

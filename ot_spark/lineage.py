@@ -276,8 +276,15 @@ SPECS_SUBDIR = "_specs"
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """The snapshot log (newest last), or None for a never-committed table."""
     try:
-        return spark.read.parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}").orderBy(
-            "snapshot_id"
+        # mergeSchema: snapshot files written before a metadata upgrade
+        # (7-column generation) coexist with newer 9-column ones; without
+        # the merge, whichever file's footer Spark samples decides whether
+        # schema_id/spec_id surface at all.  The log is tiny, so the
+        # footer merge costs nothing.
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}")
+            .orderBy("snapshot_id")
         )
     except Exception:  # noqa: BLE001 — absent log == no snapshots
         return None
@@ -436,7 +443,8 @@ def read_as_of(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFrame
 
 def _read_meta(spark: SparkSession, path: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(path)
+        # mergeSchema for the same mixed-generation reason as snapshots()
+        return spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:  # noqa: BLE001 — absent log
         return None
 
@@ -460,10 +468,20 @@ def _meta_rows(spark: SparkSession, path: str) -> list | None:
         files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
         if not files:
             return None
+        # two-pass manual mergeSchema: older-generation files lack columns
+        # newer ones carry; every row gets the UNION of keys (None-filled)
+        # so attribute access never depends on which file a row came from
+        tables = [pq.read_table(f) for f in files]
+        all_keys: list[str] = []
+        for t in tables:
+            for name in t.column_names:
+                if name not in all_keys:
+                    all_keys.append(name)
         rows: list = []
-        for f in files:
+        for t in tables:
             rows.extend(
-                SimpleNamespace(**d) for d in pq.read_table(f).to_pylist()
+                SimpleNamespace(**{k: d.get(k) for k in all_keys})
+                for d in t.to_pylist()
             )
         return rows
     df = _read_meta(spark, path)
@@ -586,6 +604,20 @@ def _register_metadata(
         known = {f.name for f in fields}
         fresh = [f for f in data_fields if f.name not in known]
         if fresh:
+            # a name absent from the CURRENT schema may still live in the
+            # rename HISTORY of another field; minting a new field-id for
+            # it would leave two logical fields resolving to the same
+            # physical column (_cands_from collision) — refuse instead of
+            # silently corrupting field-id resolution
+            hist = {r.physical for r in srows} | {r.name for r in srows}
+            for f in fresh:
+                if f.name in hist:
+                    raise ValueError(
+                        f"column '{f.name}' reuses a renamed column's "
+                        "historical name; field-id resolution would become "
+                        "ambiguous — pick a fresh name or rename the "
+                        "existing field back explicitly"
+                    )
             nfid = max(f.field_id for f in fields)
             nf = [(f.field_id, f.name, f.type, f.physical) for f in fields]
             for f in fresh:

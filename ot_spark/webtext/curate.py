@@ -183,15 +183,17 @@ def unigram_logprob(df: DataFrame, total_tokens: int, text_col: str = "text") ->
     n-gram order).
 
     Two passes over the exploded tokens: a map-side-combinable vocabulary
-    count, then a score join + per-doc agg.  The vocabulary side is
-    broadcast at gate scale; at 100 TB AQE picks the join (vocabulary ≪
-    corpus after combining).  ``total_tokens`` is supplied by the caller
+    count, then a score join + per-doc agg.  The vocabulary join carries
+    NO broadcast hint: a hint would pin BroadcastHashJoin at any scale and
+    a corpus-derived vocabulary can outgrow the driver at 100 TB — AQE
+    converts to broadcast at runtime when the built side is actually small
+    (it is at gate scale, after the map-side combine).  ``total_tokens`` is supplied by the caller
     (one scalar agg job) so the plan is a straight tree.  Documents with
     zero tokens have no probability mass and drop out (both engines)."""
     tok = with_tokens(df, text_col)
     terms = tok.select("doc_id", F.explode(F.col(TOKENS_COL)).alias("term"))
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    scored = terms.join(F.broadcast(vocab), "term").select(
+    scored = terms.join(vocab, "term").select(
         "doc_id",
         (-F.log(F.col("c") / F.lit(float(total_tokens)))).alias("nl"),
     )
@@ -327,8 +329,10 @@ def bigram_logprob(
 
     Plan: positions from ONE posexplode (the token array is carried so
     the predecessor is an element_at, not a self-join); unigram and
-    bigram count tables aggregate map-side and BROADCAST back onto the
-    position stream (vocabulary-scale; AQE picks the join at 100 TB);
+    bigram count tables aggregate map-side and join back onto the
+    position stream without broadcast hints — the count tables are
+    corpus-derived, so AQE (not a pinned hint that could OOM the driver
+    at 100 TB) decides broadcast vs shuffle from their runtime size;
     within-corpus scoring means every (prev, term) pair exists in the
     bigram table, so the joins stay inner."""
     tok = with_tokens(df, text_col)
@@ -357,14 +361,14 @@ def bigram_logprob(
     n = float(total_tokens)
     first = (
         pos.where("i = 0")
-        .join(F.broadcast(uni), "term")
+        .join(uni, "term")
         .select("doc_id", (-F.log(F.col("cu") / n)).alias("nl"))
     )
     rest = (
         pos.where("i > 0")
-        .join(F.broadcast(uni), "term")
-        .join(F.broadcast(up), "prev")
-        .join(F.broadcast(bi), ["prev", "term"])
+        .join(uni, "term")
+        .join(up, "prev")
+        .join(bi, ["prev", "term"])
         .select(
             "doc_id",
             (
