@@ -1620,53 +1620,6 @@ GROUP BY doc_id, frame_idx
 """
 
 
-def _h3_axial_sql(res: int, lat: str = "lat", lon: str = "lon") -> tuple[str, str]:
-    """Raw (un-rounded) axial coordinate SQL at ``res``, bit-identical to
-    s2h3._axial_from_xy: the float constants are embedded via repr() (both
-    engines' decimal->binary parse is correctly rounded, so the literals
-    reconstruct the exact same doubles numpy used) and the operation order
-    matches the numpy expression term for term."""
-    import numpy as np
-
-    from ot_spark.s2h3 import h3ish_size
-
-    c1 = repr(float(np.sqrt(3.0) / 3.0))
-    c23 = repr(2.0 / 3.0)
-    size = repr(float(h3ish_size(res)))
-    qraw = f"((CAST({c1} AS DOUBLE)*{lon} - {lat}/3.0)/CAST({size} AS DOUBLE))"
-    rraw = f"((CAST({c23} AS DOUBLE)*{lat})/CAST({size} AS DOUBLE))"
-    return qraw, rraw
-
-
-def _h3_cube_round_cols(tag: str) -> tuple[str, str, str]:
-    """(rounded-cols, d-cols, final q/r exprs) for a cq{tag}/cr{tag} pair —
-    DuckDB round_even(x,0) == np.round (both round-half-to-even)."""
-    rnd = (
-        f"round_even(cq{tag},0) AS rx{tag}, "
-        f"round_even(-cq{tag}-cr{tag},0) AS ry{tag}, "
-        f"round_even(cr{tag},0) AS rz{tag}"
-    )
-    d = (
-        f"abs(rx{tag}-cq{tag}) AS dx{tag}, "
-        f"abs(ry{tag}-(-cq{tag}-cr{tag})) AS dy{tag}, "
-        f"abs(rz{tag}-cr{tag}) AS dz{tag}"
-    )
-    qr = (
-        f"CAST(CASE WHEN dx{tag}>dy{tag} AND dx{tag}>dz{tag} "
-        f"THEN -ry{tag}-rz{tag} ELSE rx{tag} END AS BIGINT) AS q{tag}, "
-        f"CAST(CASE WHEN NOT(dx{tag}>dy{tag} AND dx{tag}>dz{tag}) AND dz{tag}>dy{tag} "
-        f"THEN -rx{tag}-ry{tag} ELSE rz{tag} END AS BIGINT) AS r{tag}"
-    )
-    return rnd, d, qr
-
-
-def _h3_encode_sql(res: int, tag: str) -> str:
-    return (
-        f"((CAST({res} AS BIGINT)<<56) | ((q{tag}+134217728)<<28) "
-        f"| (r{tag}+134217728))"
-    )
-
-
 def _s2_tiles_oracle_sql(level: int = 10) -> str:
     """Full SQL re-derivation of the S2 encode (graduates s2_tiles from
     rows-only, VERDICT-r3 #6): lat/lon -> unit xyz -> cube face + (u,v) ->
@@ -1896,69 +1849,159 @@ FROM enc GROUP BY h3_7
 
 
 def q_knn_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN nearest-raster-tile via h3ish k-ring expansion (north_star)."""
-    from ot_spark.s2h3 import knn_nearest_raster
+    """kNN nearest-raster-tile via TRUE-GEOMETRY H3 k-ring expansion
+    (north_star "nearest elevation/raster tile via H3 k-ring expansion";
+    ot_spark/h3x.py).  Round 6 retires the axial "h3ish" approximation
+    this query ran on through round 5."""
+    from ot_spark.h3x import knn_nearest_raster_h3x
 
     df = pagesview.pages_df(spark, sf_dir)
-    out = knn_nearest_raster(df, _raster_index(), res=2, max_k=4)
+    out = knn_nearest_raster_h3x(df, _raster_index(), res=4, max_k=4)
     return out.select("doc_id", "knn_raster_id", "knn_k")
 
 
-def _knn_raster_oracle_sql(res: int = 2, max_k: int = 4) -> str:
-    """Independent re-derivation of the k-ring walk.  The covered-hex set
-    is derived IN SQL from a dense axial lattice filtered by
-    center-in-closed-padded-bbox containment (product form: x =
-    sqrt(3)*size*(q+r/2), y = 1.5*size*r) — a different enumeration method
-    from s2h3's ceil/floor range loop, so a bug in that loop cannot cancel
-    out (round-3 advice; set equality of the two methods over these tiles
-    pre-verified, 410 hexes incl. the exact-boundary r=-3 row).  The ring
-    walk becomes the closed-form axial hex distance (|dq|+|dr|+|dq+dr|)/2
-    — ring k contains exactly the hexes at distance k — with argmin
-    (k, pixel, order)."""
-    from ot_spark.s2h3 import h3ish_size
+def _knn_raster_h3x_cov_rows(res: int = 4, max_k: int = 4,
+                             pad_deg: float = 0.25) -> dict:
+    """Coverage map for the knn_raster oracle, enumerated INDEPENDENTLY of
+    the production flood fill (round-3 advice pattern: a bug in one
+    enumeration cannot cancel out): a dense lat/lon MESHGRID over each
+    padded tile bbox is encoded to cells, deduped, then filtered by
+    center-in-closed-padded-bbox — versus production's
+    h3x_polyfill_bbox neighbor flood fill from the bbox center.  Set
+    equality of the two methods is pinned by
+    tests/test_round6.py::test_knn_coverage_enumerations_agree.
+    Returns {(face, i, j): (pixel_area, order, raster_id)} with the same
+    finest-first tie-break the production router uses."""
+    import numpy as np
 
-    size = h3ish_size(res)
+    from ot_spark import h3x
+
     idx = _raster_index()
-    vals = []
+    step = 0.08  # res-4 cell min-width ~0.35 deg: >= 4 samples per cell
+    rows: dict = {}
     for order, t in enumerate(idx.routing()):
-        vals.append(
-            f"({t['min_lon']!r},{t['min_lat']!r},{t['max_lon']!r},"
-            f"{t['max_lat']!r},{t['pixel_w']!r},{t['pixel_h']!r},"
-            f"{order},'{t['raster_id']}')"
+        lon0, lat0 = t["min_lon"] - pad_deg, t["min_lat"] - pad_deg
+        lon1, lat1 = t["max_lon"] + pad_deg, t["max_lat"] + pad_deg
+        ex = 0.5  # sample beyond the bbox so border cells are reached
+        lons = np.arange(lon0 - ex, lon1 + ex + step, step)
+        lats = np.arange(lat0 - ex, lat1 + ex + step, step)
+        lo, la = np.meshgrid(lons, lats)
+        ids = np.unique(h3x.h3x_cell_ids(la.ravel(), lo.ravel(), res))
+        cla, clo = h3x.h3x_cell_center(ids)
+        keep = (clo >= lon0) & (clo <= lon1) & (cla >= lat0) & (cla <= lat1)
+        ids = ids[keep]
+        f, i, j = h3x.h3x_cell_fij(ids, res)
+        pix = t["pixel_w"] * t["pixel_h"]
+        for ff, ii, jj in zip(f, i, j):
+            key = (int(ff), int(ii), int(jj))
+            cur = rows.get(key)
+            if cur is None or (pix, order) < cur[:2]:
+                rows[key] = (pix, order, t["raster_id"])
+    return rows
+
+
+def _knn_raster_oracle_sql(res: int = 4, max_k: int = 4,
+                           pad_deg: float = 0.25) -> str:
+    """knn_raster oracle on TRUE-GEOMETRY h3x: the page's (face, i, j)
+    axial lattice coordinates at ``res`` are re-derived FULLY IN SQL
+    (lat/lon -> xyz -> argmax face -> gnomonic -> hex lattice -> cube
+    round — the same unrolled fragments the h3_tiles oracle proved
+    bit-identical to numpy), and the k-ring walk becomes the CLOSED-FORM
+    axial hex distance (|di|+|dj|+|di+dj|)/2 against the coverage VALUES
+    table — valid because every covered cell and every reachable page
+    cell lies interior to ONE icosahedron face (asserted at build time),
+    where H3 grid distance equals axial distance — in h3x's (i, j)
+    basis (hex2d x = i - j/2) the six unit neighbors are (+-1,0), (0,+-1)
+    and SAME-SIGN (+-1,+-1), so the distance is
+    (|di| + |dj| + |di - dj|) / 2 (the standard axial formula under
+    r = -j).  This is a genuinely
+    different distance computation from production's BFS ring expansion
+    over h3x_neighbors, so a neighbor-stepping bug cannot cancel out.
+    Coverage enumeration is meshgrid-independent (see
+    _knn_raster_h3x_cov_rows); argmin tie-break (k, pixel, order) and the
+    LEFT JOIN NULL semantics are pure SQL."""
+    from ot_spark.h3x import oracle_constants
+
+    k = oracle_constants(res)
+    assert res % 2 == 0, "odd res needs the ap7 rotation in hexf"
+    deg = repr(k["deg"])
+    faces_rows = ",\n  ".join(
+        "(" + ",".join([str(r[0])] + [repr(v) for v in r[1:]]) + ")"
+        for r in k["faces"]
+    )
+    cov = _knn_raster_h3x_cov_rows(res, max_k, pad_deg)
+    faces_used = {key[0] for key in cov}
+    assert len(faces_used) == 1, f"coverage straddles faces {faces_used}"
+    cov_rows = ",\n  ".join(
+        f"({f},{i},{j},{pix!r},{order},'{rid}')"
+        for (f, i, j), (pix, order, rid) in sorted(cov.items())
+    )
+
+    def rha(v: str) -> str:  # numpy _round_half_away
+        return (
+            f"(CASE WHEN ({v}) >= 0 THEN floor(({v}) + 0.5) "
+            f"ELSE -floor(0.5 - ({v})) END)"
         )
-    tiles = ",\n  ".join(vals)
-    qraw, rraw = _h3_axial_sql(res)
-    rnd, d, qr = _h3_cube_round_cols("2")
+
     return f"""
 WITH pts AS (
   SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
   FROM documents
-), raw AS (
-  SELECT doc_id, {qraw} AS cq2, {rraw} AS cr2 FROM pts
-), rnd AS (SELECT *, {rnd} FROM raw
-), dd AS (SELECT *, {d} FROM rnd
-), hexes AS (SELECT doc_id, {qr} FROM dd
-), tiles(lon0, lat0, lon1, lat1, pw, ph, ord, rid) AS (VALUES
-  {tiles}
-), cand AS (
-  SELECT qq.range AS q, rr.range AS r FROM range(-120, 121) qq, range(-60, 61) rr
-), cov AS (
-  SELECT c.q, c.r, t.pw * t.ph AS pix, t.ord, t.rid
-  FROM cand c JOIN tiles t
-    ON sqrt(3.0) * {size!r} * (c.q + c.r / 2.0)
-         BETWEEN t.lon0 - {size!r} AND t.lon1 + {size!r}
-   AND 1.5 * {size!r} * c.r BETWEEN t.lat0 - {size!r} AND t.lat1 + {size!r}
+), xyz AS (
+  SELECT doc_id,
+    cos(lat*{deg}) * cos(lon*{deg}) AS x,
+    cos(lat*{deg}) * sin(lon*{deg}) AS y,
+    sin(lat*{deg}) AS z
+  FROM pts
+), faces(f, cx, cy, cz, exx, exy, exz, eyx, eyy, eyz) AS (VALUES
+  {faces_rows}
+), fsel AS (
+  SELECT * FROM (
+    SELECT xyz.*, faces.*,
+      row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round_even((x*cx + y*cy + z*cz) * 1000000000000.0, 0) DESC,
+                 f ASC
+      ) AS rn
+    FROM xyz CROSS JOIN faces
+  ) WHERE rn = 1
+), gno AS (
+  SELECT doc_id, f,
+    ((x/dd - cx)*exx + (y/dd - cy)*exy) + (z/dd - cz)*exz AS gx,
+    ((x/dd - cx)*eyx + (y/dd - cy)*eyy) + (z/dd - cz)*eyz AS gy
+  FROM (SELECT *, (x*cx + y*cy) + z*cz AS dd FROM fsel)
+), hexf AS (
+  SELECT doc_id, f,
+    round_even(gx*{repr(k["scale"])} * 1000000000.0, 0) / 1000000000.0 AS hx,
+    round_even(gy*{repr(k["scale"])} * 1000000000.0, 0) / 1000000000.0 AS hy
+  FROM gno
+), axial AS (
+  SELECT doc_id, f, hx + 0.5*fj AS fi, fj
+  FROM (SELECT doc_id, f, hx, hy/{repr(k["half_sqrt3"])} AS fj FROM hexf)
+), cube AS (
+  SELECT doc_id, f,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS i,
+    CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx - ry ELSE rz END AS BIGINT) AS j
+  FROM (
+    SELECT *, abs(rx - fi) AS dx, abs(ry - (-fi - fj)) AS dy, abs(rz - fj) AS dz
+    FROM (
+      SELECT *, {rha("fi")} AS rx, {rha("(-fi - fj)")} AS ry, {rha("fj")} AS rz
+      FROM axial
+    )
+  )
+), cov(cf, ci, cj, pix, ord, rid) AS (VALUES
+  {cov_rows}
 ), dist AS (
   SELECT h.doc_id, c.rid, c.pix, c.ord,
-         (abs(h.q2-c.q)+abs(h.r2-c.r)+abs(h.q2+h.r2-c.q-c.r))//2 AS k
-  FROM hexes h CROSS JOIN cov c
+         (abs(h.i-c.ci)+abs(h.j-c.cj)+abs((h.i-c.ci)-(h.j-c.cj)))//2 AS k
+  FROM cube h JOIN cov c ON h.f = c.cf
 ), best AS (
   SELECT doc_id, rid, k,
          row_number() OVER (PARTITION BY doc_id ORDER BY k, pix, ord) AS rn
   FROM dist WHERE k <= {max_k}
 )
 SELECT h.doc_id, b.rid AS knn_raster_id, CAST(b.k AS INTEGER) AS knn_k
-FROM hexes h LEFT JOIN best b ON b.doc_id = h.doc_id AND b.rn = 1
+FROM cube h LEFT JOIN best b ON b.doc_id = h.doc_id AND b.rn = 1
 """
 
 

@@ -792,3 +792,161 @@ def with_h3x_cells(
     return df.withColumn("__h3x", enc(F.col(lat_col), F.col(lon_col))).select(
         "*", *[f"__h3x.h3_{r}" for r in resolutions]
     ).drop("__h3x")
+
+
+# ------------------------------------------------- k-ring raster kNN (h3x)
+# North-star operator on TRUE-GEOMETRY H3: nearest raster tile via H3
+# k-ring expansion (BASELINE.json "kNN enrichment (nearest elevation/
+# raster tile via H3 k-ring expansion)").  Replaces the retired axial
+# "h3ish" approximation (s2h3.py round-5 and earlier).
+
+
+def h3x_cell_fij(ids: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(face, i, j) axial lattice coordinates of each cell at its own
+    resolution — the encode-side intermediate the SQL oracle also
+    computes.  On a single icosahedron face the H3 grid distance between
+    two cells is the closed-form axial hex distance of these (i, j)."""
+    clat, clon = h3x_cell_center(ids)
+    xyz = _latlon_to_xyz(clat, clon)
+    face = _best_face(xyz)
+    x, y = _gnomonic_fwd(xyz, face)
+    i, j = _axial_ij(*_hex2d_at_res(x, y, res))
+    return face, i, j
+
+
+def h3x_polyfill_bbox(
+    lon0: float, lat0: float, lon1: float, lat1: float, res: int
+) -> np.ndarray:
+    """All res-``res`` cells whose CENTER lies in the closed lon/lat bbox,
+    by flood fill from the bbox-center cell over :func:`h3x_neighbors`.
+    The center-in-bbox cell set of a convex bbox much larger than a cell
+    is connected, so flooding through inside-cells reaches all of them.
+    Driver-side enumeration for dimension-scale regions (raster tile
+    bboxes), not a corpus operator."""
+    def inside(cells: np.ndarray) -> np.ndarray:
+        la, lo = h3x_cell_center(cells)
+        return (lo >= lon0) & (lo <= lon1) & (la >= lat0) & (la <= lat1)
+
+    seed = h3x_cell_ids(
+        np.array([(lat0 + lat1) / 2.0]), np.array([(lon0 + lon1) / 2.0]), res
+    )
+    seen = {int(seed[0])}
+    kept: list[int] = []
+    frontier = seed if inside(seed)[0] else np.empty(0, dtype=np.int64)
+    if len(frontier):
+        kept.append(int(seed[0]))
+    else:  # degenerate bbox smaller than one cell: probe the seed's ring
+        ring = np.unique(h3x_neighbors(seed))
+        frontier = ring[inside(ring)]
+        kept.extend(int(c) for c in frontier)
+        seen.update(int(c) for c in ring)
+    while len(frontier):
+        nxt = np.unique(h3x_neighbors(frontier))
+        fresh = np.array(
+            [c for c in nxt if int(c) not in seen], dtype=np.int64
+        )
+        seen.update(int(c) for c in fresh)
+        if not len(fresh):
+            break
+        ok = inside(fresh)
+        frontier = fresh[ok]
+        kept.extend(int(c) for c in frontier)
+    return np.array(sorted(kept), dtype=np.int64)
+
+
+def knn_raster_coverage(
+    raster_index, res: int, pad_deg: float
+) -> dict[int, tuple[float, int, str]]:
+    """cell id -> (pixel area, finest-first order, raster id) for every
+    cell whose center lies in a tile bbox padded by ``pad_deg``; ties
+    across tiles keep the finest (min pixel area, then routing order) —
+    the same tie-break the raster router uses (raster.py:100-117)."""
+    coverage: dict[int, tuple[float, int, str]] = {}
+    for order, t in enumerate(raster_index.routing()):  # finest-first
+        cells = h3x_polyfill_bbox(
+            t["min_lon"] - pad_deg, t["min_lat"] - pad_deg,
+            t["max_lon"] + pad_deg, t["max_lat"] + pad_deg, res,
+        )
+        pix = t["pixel_w"] * t["pixel_h"]
+        for c in cells:
+            cur = coverage.get(int(c))
+            if cur is None or (pix, order) < cur[:2]:
+                coverage[int(c)] = (pix, order, t["raster_id"])
+    return coverage
+
+
+def knn_nearest_raster_h3x(
+    df: DataFrame,
+    raster_index,
+    res: int = 4,
+    max_k: int = 4,
+    pad_deg: float = 0.25,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """kNN enrichment on true-geometry H3: ring-walk k = 0..``max_k``
+    around each page's res-``res`` cell until a covered cell appears; the
+    first ring with coverage wins, ties inside the ring by (pixel area,
+    routing order).  Adds ``knn_raster_id`` and ``knn_k`` (NULL when no
+    covered cell within ``max_k`` rings).
+
+    Scale shape: the coverage map is dimension-scale (one entry per cell
+    overlapping a raster bbox) and broadcast; the executor walks rings
+    once per DISTINCT cell in each Arrow batch (pages cluster heavily
+    into cells), all numpy.  Reference parity: geotiff.rs nearest-tile
+    routing, generalized from containment to k-ring nearest."""
+    from pyspark.sql.types import StringType
+
+    coverage = knn_raster_coverage(raster_index, res, pad_deg)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(coverage)
+
+    @F.pandas_udf(StringType())
+    def nearest(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        cov = bc.value
+        cell_cache: dict[int, str | None] = {}
+
+        def resolve(cell: int) -> str | None:
+            if cell in cell_cache:
+                return cell_cache[cell]
+            res_: str | None = None
+            seen = {cell}
+            frontier = np.array([cell], dtype=np.int64)
+            for k in range(max_k + 1):
+                hits = [cov[int(c)] for c in frontier if int(c) in cov]
+                if hits:
+                    res_ = f"{k}|{min(hits)[2]}"
+                    break
+                if k == max_k:
+                    break
+                nxt = np.unique(h3x_neighbors(frontier))
+                fresh = np.array(
+                    [c for c in nxt if int(c) not in seen], dtype=np.int64
+                )
+                seen.update(int(c) for c in fresh)
+                if not len(fresh):
+                    break
+                frontier = fresh
+            cell_cache[cell] = res_
+            return res_
+
+        for lat_s, lon_s in it:
+            lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            ok = ~(np.isnan(lat_np) | np.isnan(lon_np))
+            out = np.full(len(lat_np), None, dtype=object)
+            if ok.any():
+                cells = h3x_cell_ids(lat_np[ok], lon_np[ok], res)
+                uniq, inverse = np.unique(cells, return_inverse=True)
+                resolved = np.asarray(
+                    [resolve(int(c)) for c in uniq], dtype=object
+                )
+                out[np.flatnonzero(ok)] = resolved[inverse]
+            yield pd.Series(out, dtype=object)
+
+    tmp = df.withColumn("__knn", nearest(F.col(lat_col), F.col(lon_col)))
+    return (
+        tmp.withColumn("knn_k", F.split("__knn", "\\|").getItem(0).cast("int"))
+        .withColumn("knn_raster_id", F.split("__knn", "\\|").getItem(1))
+        .drop("__knn")
+    )

@@ -1,4 +1,4 @@
-"""Hierarchical cell indexes: S2 cell ids + an H3-style hex grid + k-ring kNN.
+"""Hierarchical cell indexes: S2 cell ids + an H3-style hex grid.
 
 No s2sphere/h3 libraries exist in the target environment (SURVEY.md §7.0),
 so both indexes are implemented from the published algorithms in pure
@@ -12,14 +12,13 @@ numpy, vectorized over Arrow batches:
   (``parent = (leaf & ~(2*lsb-1)) | lsb``) and the face contract
   (``id >> 61 == face``).
 - **H3-style hex grid** (*h3ish*: a simple axial approximation kept for
-  its cheap closed-form SQL oracle and k-ring math).  The TRUE-GEOMETRY
-  icosahedral aperture-7 grid lives in :mod:`ot_spark.h3x` (gnomonic
-  faces, Class II/III lattices, 122 base cells / 12 pentagons, H3-layout
-  ids) and is what the ``h3_tiles`` gate query uses; h3ish remains as a
-  lightweight alternative binning, not the H3 claim.
-- **k-ring kNN**: expand hex rings around a point's cell until a cell
-  containing raster coverage is found — the north_star's
-  nearest-raster-tile enrichment.
+  its cheap closed-form SQL oracle).  The TRUE-GEOMETRY icosahedral
+  aperture-7 grid lives in :mod:`ot_spark.h3x` (gnomonic faces, Class
+  II/III lattices, 122 base cells / 12 pentagons, H3-layout ids) and is
+  what the ``h3_tiles`` gate query uses; h3ish remains as a lightweight
+  alternative binning, not the H3 claim.  The k-ring raster kNN moved to
+  h3x in round 6 (h3x.knn_nearest_raster_h3x) — real H3 k-ring expansion,
+  per the north_star.
 """
 
 from __future__ import annotations
@@ -30,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import LongType
 
 # ------------------------------------------------------------------ S2 core
 
@@ -246,38 +245,6 @@ def h3ish_parent(ids: np.ndarray, parent_res: int) -> np.ndarray:
     return h3ish_encode(pq, pr, parent_res)
 
 
-def k_ring(q: int, r: int, k: int) -> list[tuple[int, int]]:
-    """Axial-coordinate hex ring at exactly distance k (standard walk)."""
-    if k == 0:
-        return [(q, r)]
-    results = []
-    directions = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
-    cq, cr = q + directions[4][0] * k, r + directions[4][1] * k
-    for d in range(6):
-        for _ in range(k):
-            results.append((cq, cr))
-            cq += directions[d][0]
-            cr += directions[d][1]
-    return results
-
-
-def _h3ish_udf(res: int):
-    @F.pandas_udf(LongType())
-    def enc(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for lat_s, lon_s in it:
-            lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            ok = ~(np.isnan(lat_np) | np.isnan(lon_np))
-            out = np.zeros(len(lat_np), dtype=np.int64)
-            if ok.any():
-                out[ok] = h3ish_cell_ids(lat_np[ok], lon_np[ok], res)
-            ser = pd.Series(out, dtype="Int64")
-            ser[~ok] = pd.NA
-            yield ser
-
-    return enc
-
-
 def with_h3ish_cells(
     df: DataFrame, resolutions: tuple[int, ...] = (7, 9),
     lat_col: str = "lat", lon_col: str = "lon",
@@ -365,99 +332,3 @@ def with_tiles(
     for f_ in fields:
         tmp = tmp.withColumn(f_.name, F.col(f"__tiles.{f_.name}"))
     return tmp.drop("__tiles")
-
-
-# ------------------------------------------------------- k-ring raster kNN
-
-def knn_nearest_raster(
-    df: DataFrame,
-    raster_index,
-    res: int = 4,
-    max_k: int = 8,
-    lat_col: str = "lat",
-    lon_col: str = "lon",
-) -> DataFrame:
-    """North-star kNN enrichment: nearest raster tile via h3ish k-ring
-    expansion.  Driver precomputes hex -> finest tile for every hex whose
-    center-ish area overlaps a tile bbox (tiny broadcast); executors walk
-    rings k=0..max_k until a covered hex appears.
-
-    Adds ``knn_raster_id`` and ``knn_k`` (ring distance; NULL if nothing
-    within max_k)."""
-    import math
-
-    size = h3ish_size(res)
-    # covered hex == hex whose CENTER lies in the tile bbox padded by one
-    # hex size.  EXACT integer axial enumeration (center y = 1.5*size*r,
-    # x = sqrt(3)*size*(q + r/2)) — the previous 0.8*size meshgrid sampling
-    # could MISS covered hexes near edges and its tie-break depended on ring
-    # walk order; ties now break deterministically by (pixel area, tile
-    # order), tile order being the R-tree's finest-first stable sort.
-    coverage: dict[tuple[int, int], tuple[float, int, str]] = {}
-    sqrt3 = math.sqrt(3.0)
-    for order, t in enumerate(raster_index.routing()):  # finest-first
-        lon0, lat0 = t["min_lon"] - size, t["min_lat"] - size
-        lon1, lat1 = t["max_lon"] + size, t["max_lat"] + size
-        pix = t["pixel_w"] * t["pixel_h"]
-        r_lo = math.ceil(lat0 / (1.5 * size))
-        r_hi = math.floor(lat1 / (1.5 * size))
-        for rr in range(r_lo, r_hi + 1):
-            q_lo = math.ceil(lon0 / (sqrt3 * size) - rr / 2.0)
-            q_hi = math.floor(lon1 / (sqrt3 * size) - rr / 2.0)
-            for qq in range(q_lo, q_hi + 1):
-                cur = coverage.get((qq, rr))
-                if cur is None or (pix, order) < cur[:2]:
-                    coverage[(qq, rr)] = (pix, order, t["raster_id"])
-
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(coverage)
-
-    @F.pandas_udf(StringType())
-    def nearest(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        # pages cluster heavily into hexes: walk rings once per DISTINCT
-        # (q, r) hex in the batch (np.unique), then gather per row — the
-        # same distinct-key trick spatial_join uses per cell
-        cov = bc.value
-        hex_cache: dict[tuple[int, int], str | None] = {}
-
-        def resolve(qq: int, rr: int) -> str | None:
-            got = hex_cache.get((qq, rr), "__miss__")
-            if got != "__miss__":
-                return got
-            res_: str | None = None
-            hit = None
-            for k in range(max_k + 1):
-                for cq, cr in k_ring(qq, rr, k):
-                    g = cov.get((cq, cr))
-                    if g is not None and (hit is None or g[:2] < hit[:2]):
-                        hit = g
-                if hit is not None:
-                    res_ = f"{k}|{hit[2]}"
-                    break
-            hex_cache[(qq, rr)] = res_
-            return res_
-
-        for lat_s, lon_s in it:
-            lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            ok = ~np.isnan(lat_np) & ~np.isnan(lon_np)
-            out = np.full(len(lat_np), None, dtype=object)
-            if ok.any():
-                qs, rs = _axial_from_xy(lon_np[ok], lat_np[ok], size)
-                pairs = np.stack([qs, rs], axis=1)
-                uniq, inverse = np.unique(pairs, axis=0, return_inverse=True)
-                resolved = np.asarray(
-                    [resolve(int(q), int(r)) for q, r in uniq], dtype=object
-                )
-                out[np.flatnonzero(ok)] = resolved[inverse]
-            yield pd.Series(out, dtype=object)
-
-    tmp = df.withColumn("__knn", nearest(F.col(lat_col), F.col(lon_col)))
-    return (
-        tmp.withColumn(
-            "knn_k",
-            F.split("__knn", "\\|").getItem(0).cast("int"),
-        )
-        .withColumn("knn_raster_id", F.split("__knn", "\\|").getItem(1))
-        .drop("__knn")
-    )

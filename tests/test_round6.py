@@ -114,3 +114,29 @@ def test_ivfpq_adc_scan_projects_only_codes(spark, emb01, ivfpq, tmp_path):
     assert emb_scans >= 1
     rows = out.collect()
     assert len(rows) == 10
+
+
+def test_knn_coverage_enumerations_agree():
+    """The production flood-fill coverage (h3x_polyfill_bbox over
+    h3x_neighbors) and the oracle's independent meshgrid enumeration
+    (_knn_raster_h3x_cov_rows) must produce the SAME cell->tile map —
+    both the key set and the (pixel, order, raster_id) winners."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from ot_spark.h3x import h3x_cell_fij, knn_raster_coverage
+
+    res, pad = 4, 0.25
+    prod = knn_raster_coverage(e._raster_index(), res, pad)
+    ids = np.array(sorted(prod), dtype=np.int64)
+    f, i, j = h3x_cell_fij(ids, res)
+    prod_keyed = {
+        (int(ff), int(ii), int(jj)): prod[int(c)]
+        for c, ff, ii, jj in zip(ids, f, i, j)
+    }
+    oracle = e._knn_raster_h3x_cov_rows(res, 4, pad)
+    assert set(prod_keyed) == set(oracle), (
+        len(set(prod_keyed) - set(oracle)), len(set(oracle) - set(prod_keyed))
+    )
+    assert prod_keyed == oracle

@@ -123,16 +123,37 @@ def test_h3ish_neighbors_differ():
     assert a[0] != b[0]
 
 
-def test_k_ring_sizes():
-    assert len(s2h3.k_ring(0, 0, 0)) == 1
-    assert len(s2h3.k_ring(0, 0, 1)) == 6
-    assert len(s2h3.k_ring(0, 0, 3)) == 18
-    # all at exact hex distance k
+def test_h3x_kring_sizes_and_contiguity():
+    """k-ring contiguity on TRUE-GEOMETRY H3 (h3x_kring replaced the
+    retired axial k_ring in round 6): gridDisk sizes 1+3k(k+1) away from
+    pentagons, every ring-k cell adjacent to some ring-(k-1) cell, and
+    the disk's axial distances (valid on one face) match the ring index."""
+    from ot_spark.h3x import h3x_cell_fij, h3x_cell_ids, h3x_kring, h3x_neighbors
+
+    res = 4
+    center = int(h3x_cell_ids(np.array([4.0]), np.array([4.0]), res)[0])
+    prev = {center}
+    seen = {center}
+    cf, ci, cj = h3x_cell_fij(np.array([center]), res)
     for k in (1, 2, 3):
-        for q, r in s2h3.k_ring(5, -2, k):
-            dq, dr = q - 5, r + 2
-            dist = (abs(dq) + abs(dr) + abs(dq + dr)) // 2
-            assert dist == k
+        disk = set(int(c) for c in h3x_kring(center, k))
+        assert len(disk) == 1 + 3 * k * (k + 1)
+        ring = disk - seen
+        assert len(ring) == 6 * k
+        # each ring cell touches the previous ring (contiguity)
+        for c in ring:
+            nbrs = set(int(x) for x in h3x_neighbors(np.array([c])).ravel())
+            assert nbrs & prev or k == 1 and c in set(
+                int(x) for x in h3x_neighbors(np.array([center])).ravel()
+            )
+        # axial distance on the (single) face equals the ring index
+        arr = np.array(sorted(ring), dtype=np.int64)
+        f, i, j = h3x_cell_fij(arr, res)
+        assert (f == cf[0]).all()
+        di, dj = i - ci[0], j - cj[0]
+        dist = (np.abs(di) + np.abs(dj) + np.abs(di - dj)) // 2
+        assert (dist == k).all(), dist
+        prev, seen = ring, seen | ring
 
 
 def test_h3ish_spark_columns(spark, pages):
@@ -149,7 +170,8 @@ def test_h3ish_spark_columns(spark, pages):
             assert r.h3_7 == want7
 
 
-def test_knn_nearest_raster(spark, fixture_dir):
+def test_knn_nearest_raster_h3x(spark, fixture_dir):
+    from ot_spark.h3x import knn_nearest_raster_h3x
     from ot_spark.raster import RasterIndex
 
     ridx = RasterIndex.from_df(spark.read.parquet(f"{fixture_dir}/raster_tiles.parquet"))
@@ -157,14 +179,14 @@ def test_knn_nearest_raster(spark, fixture_dir):
         [
             (0.5, 0.5),    # inside fineA -> k=0, finest
             (4.0, 4.0),    # inside coarse only -> k=0 coarse
-            (9.15, 0.0),   # ~0.15 deg past coarse's east edge (hex size at
-                           # res 4 is ~0.04 deg) -> found within a few rings
+            (9.6, 0.0),    # ~0.35 deg past coarse's padded east edge
+                           # (res-4 h3x cell width ~0.35 deg) -> k >= 1
             (60.0, 60.0),  # far away -> NULL
             (None, None),
         ],
         "lon double, lat double",
     )
-    rows = s2h3.knn_nearest_raster(df, ridx, res=4, max_k=4).collect()
+    rows = knn_nearest_raster_h3x(df, ridx, res=4, max_k=4).collect()
     assert rows[0].knn_raster_id == "fineA" and rows[0].knn_k == 0
     assert rows[1].knn_raster_id == "coarse" and rows[1].knn_k == 0
     assert rows[2].knn_raster_id == "coarse" and rows[2].knn_k >= 1
