@@ -418,6 +418,132 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(with_pq_codes(cand, books), qvec, books, k_out=10)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup (round 6): lowercase
+    scheme/host, default-port and www stripping, utm_* removal, query
+    sort, trailing-slash and fragment removal — pure JVM Column algebra
+    over a deterministic synthetic URL (ot_spark/webtext/urltools.py),
+    then ONE groupBy(canonical) exchange.  The first dedup of every
+    crawl pipeline."""
+    from ot_spark.webtext.urltools import url_dedup
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return url_dedup(df)
+
+
+_URL_DEDUP_ORACLE_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 9 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST(doc_id % 50 AS VARCHAR) || '.ORG'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ''
+             WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+             ELSE '?b=2&a=1' END)
+    || (CASE WHEN doc_id % 6 = 2 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), nofrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM nofrag
+), hp AS (
+  SELECT doc_id, scheme,
+    regexp_extract(rest, '^([^/?#]+)', 1) AS hostport,
+    substr(rest, length(regexp_extract(rest, '^([^/?#]+)', 1)) + 1) AS pathq
+  FROM parts
+), host1 AS (
+  SELECT doc_id, scheme, pathq,
+    regexp_replace(
+      CASE
+        WHEN scheme = 'https' AND lower(hostport) LIKE '%:443'
+          THEN regexp_replace(lower(hostport), ':443$', '')
+        WHEN scheme = 'http' AND lower(hostport) LIKE '%:80'
+          THEN regexp_replace(lower(hostport), ':80$', '')
+        ELSE lower(hostport)
+      END, '^www\\.', '') AS host
+  FROM hp
+), pq AS (
+  SELECT doc_id, scheme, host,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS path,
+    substr(pathq, length(regexp_extract(pathq, '^([^?]*)', 1)) + 2) AS query
+  FROM host1
+), canon AS (
+  SELECT doc_id,
+    scheme || '://' || host || path ||
+    (CASE WHEN length(cq) > 0 THEN '?' || cq ELSE '' END) AS canonical_url
+  FROM (
+    SELECT *, array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+                            p -> length(p) > 0 AND NOT starts_with(p, 'utm_'))),
+      '&') AS cq
+    FROM pq
+  )
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the deterministic link graph (round 6;
+    ot_spark/graph.py): BIGINT ranks scaled by 1e12, integer-division
+    steps so the iteration is exactly order-independent — the oracle
+    unrolls the 3 iterations as CTEs and matches bit-for-bit, no float
+    tolerance.  Per iteration: one join + one groupBy — the
+    connected-components shuffle shape at 10^12-edge scale."""
+    from ot_spark.graph import pagerank_fixed, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    ranks = pagerank_fixed(
+        edges, docs.select(F.col("doc_id").alias("node")), n, iters=3
+    )
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    scale = 10**12
+    parts = ["""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*3+1) % nn.c AS dst, 1 + doc_id % 3 AS d
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id*7+2) % nn.c, 1 + doc_id % 3 FROM documents, nn
+  WHERE doc_id % 3 >= 1
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % nn.c, 1 + doc_id % 3 FROM documents, nn
+  WHERE doc_id % 3 = 2
+),
+r0 AS (SELECT doc_id AS node, __SCALE__ // nn.c AS rank FROM documents, nn)""".replace(
+        "__SCALE__", str(scale))]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT e.dst AS node, CAST(sum(r{k - 1}.rank // e.d) AS BIGINT) AS s
+  FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node GROUP BY e.dst
+),
+r{k} AS (
+  SELECT d.doc_id AS node,
+         CAST((15 * ({scale} // nn.c) // 100)
+              + (85 * coalesce(s{k}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM documents d CROSS JOIN nn LEFT JOIN s{k} ON s{k}.node = d.doc_id
+)""")
+    parts.append(f"""
+SELECT node, rank FROM r{iters} ORDER BY rank DESC, node ASC LIMIT 20
+""")
+    return "".join(parts)
+
+
 def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION IVF+PQ (round-6): k=256 uint8 codebooks (kmeans++, 10
     Lloyd iters), replicas=2 multi-assignment posting lists, ADC scan over
@@ -2028,6 +2154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         # -- new in round 6
         "ivfpq_prod": q_ivfpq_prod,
+        "url_dedup": q_url_dedup,
+        "pagerank": q_pagerank,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -2773,6 +2901,8 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_dedup": _URL_DEDUP_ORACLE_SQL,
+        "pagerank": _pagerank_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -1,0 +1,93 @@
+"""Link-graph analytics: fixed-point PageRank over a page-link edge list.
+
+The web-page table the north_star describes carries a link graph; the
+canonical whole-graph computation over it is PageRank (Page et al. 1999,
+public).  The distributed shape is the textbook one — per iteration, ONE
+join (edges x ranks, co-partitioned on the source) and ONE groupBy(dst)
+aggregation — the same O(iters) shuffle pattern as the connected-
+components operator in webtext/dedup.py, and exactly what a 1000-executor
+run does at 10^12 edges (partition both sides by the join key; AQE
+handles the skewed high-in-degree hosts).
+
+FIXED-POINT ARITHMETIC, deliberately: ranks are BIGINTs scaled by 1e12
+and every step is integer division (``DIV``), so the computation is
+EXACTLY order-independent — a float implementation's per-group sum order
+differs between engines (and between runs under AQE re-partitioning),
+which would make a value-hash oracle flaky.  Spec, with d = damping
+percent (85) and S = 10^12:
+
+    r0(v)        = S DIV N
+    contrib(u,v) = r_k(u) DIV out_degree(u)        per edge
+    r_{k+1}(v)   = (100 - d) * (S DIV N) DIV 100
+                   + d * sum(contrib) DIV 100
+
+The gate derives a deterministic 3-out-link edge list from doc_id
+(pagesview pattern; parallel edges kept when the three targets collide
+mod N) and compares the top-20 ranks against a DuckDB oracle that unrolls
+the iterations as CTEs — bit-equal BIGINTs, no rounding tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def synthetic_edges(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VARIABLE-out-degree edge list: doc i links to the
+    first 1 + (i % 3) of [(3i+1) % N, (7i+2) % N, (13i+3) % N].  Variable
+    out-degree makes in-degrees (hence ranks) non-uniform, so the oracle
+    comparison is non-trivial; parallel edges are kept (both engines
+    count them identically)."""
+    src = F.col(id_col)
+    targets = F.array(
+        (src * 3 + 1) % n, (src * 7 + 2) % n, (src * 13 + 3) % n
+    )
+    return docs.select(
+        src.alias("src"),
+        F.explode(F.slice(targets, 1, (src % 3 + 1).cast("int"))).alias("dst"),
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    iters: int = 3,
+    damping_pct: int = 85,
+    node_col: str = "node",
+) -> DataFrame:
+    """Fixed-point PageRank (module doc): returns (node, rank) with rank a
+    BIGINT in S = 1e12 units.  The loop unrolls into the plan — no driver
+    round-trips; ``iters`` shuffle pairs total."""
+    base = (100 - damping_pct) * (SCALE // n) // 100
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # out-degree is a per-source dimension join reused every iteration —
+    # attach it to the edges once
+    e = edges.join(out_deg, "src")
+    ranks = nodes.select(
+        F.col(node_col).alias("node"), F.lit(SCALE // n).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = e.join(
+            ranks, e["src"] == ranks["node"], "inner"
+        ).select(
+            F.col("dst"), F.expr("rank DIV __deg").alias("__c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(sums, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(__s, 0L) DIV 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

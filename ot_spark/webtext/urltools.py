@@ -1,0 +1,112 @@
+"""URL canonicalization + canonical-URL dedup.
+
+The first deduplication a Common-Crawl-style pipeline runs is not content
+dedup but URL dedup: the same page is fetched as ``http://WWW.Site.org``,
+``https://site.org:443/`` and ``https://site.org/?utm_source=feed`` —
+canonicalize, then keep one fetch per canonical URL.  (The reference
+pipeline's analog is its key-normalization pass before filtering;
+osm-transform normalizes tag keys before the filter stage.)
+
+Canonical form (the widely-published safe subset of RFC 3986
+normalization + tracker-parameter stripping):
+
+1. drop the ``#fragment``;
+2. lowercase the scheme and the host (NEVER the path/query — those are
+   case-sensitive);
+3. drop the default port (``:443`` for https, ``:80`` for http);
+4. drop a leading ``www.``;
+5. drop ``utm_*`` tracking parameters, sort the survivors byte-wise;
+6. drop a trailing ``/`` from the path.
+
+Everything is JVM Column algebra (regexp + array ops) — no UDF, fully
+pushdown/codegen-friendly, and exactly replayable in ANSI SQL (the
+``url_dedup`` oracle): at 100 TB this runs as a narrow map + one
+groupBy(canonical) exchange, the cheapest dedup in the pipeline.
+
+The gate derives a deterministic synthetic URL per document from
+``doc_id`` (the pagesview pattern: Spark builds it with Column algebra,
+the oracle with SQL arithmetic — two independent evaluation paths), with
+every canonicalization-relevant variation exercised: mixed-case scheme /
+host, www and default-port variants, utm parameters, unsorted query
+params, trailing slashes, fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def synthetic_url_col(doc_id: Column) -> Column:
+    """Deterministic messy URL from doc_id (gate input — see module doc)."""
+    scheme = F.when(doc_id % 9 == 0, F.lit("HTTPS://")).otherwise(
+        F.lit("https://")
+    )
+    www = F.when(doc_id % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.concat(
+        F.when(doc_id % 2 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (doc_id % 50).cast("string"),
+        F.lit(".ORG"),
+    )
+    port = F.when(doc_id % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), (doc_id % 200).cast("string"))
+    slash = F.when(doc_id % 4 == 1, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(doc_id % 7 == 0, F.lit(""))
+        .when(doc_id % 2 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .otherwise(F.lit("?b=2&a=1"))
+    )
+    frag = F.when(doc_id % 6 == 2, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(scheme, www, host, port, path, slash, query, frag)
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Canonical URL as a single JVM Column expression (steps 1-6 above)."""
+    u = F.regexp_replace(url, "#.*$", "")  # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]+)", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(2_000_000_000))
+    host = F.lower(hostport)
+    host = F.when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, ":443$", ""),
+    ).when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, ":80$", ""),
+    ).otherwise(host)
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    # query string after the '?' ('' when absent)
+    query = F.substring(pathq, F.length(path) + 2, F.lit(2_000_000_000))
+    path = F.regexp_replace(path, "/$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.startswith("utm_"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(canon_q) > 0, F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL dedup over the synthetic URL column: one row per
+    canonical URL with the variant count and the keeper (min id) — the
+    narrow-map + single-exchange shape."""
+    with_url = df.select(
+        F.col(id_col), synthetic_url_col(F.col(id_col)).alias("url")
+    )
+    canon = with_url.select(
+        F.col(id_col), canonicalize_url_col(F.col("url")).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(id_col).alias("keeper"),
+    )

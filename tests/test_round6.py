@@ -168,3 +168,56 @@ def test_jaccard_verify_is_candidate_scoped(spark):
     phys = _formatted_plan(out)
     assert "CartesianProduct" not in phys
     assert out.count() == 25  # unchanged result vs the unscoped verify
+
+
+def test_url_canonicalize_cases(spark):
+    """Hand-written canonicalization cases: fragment, default port, www,
+    utm stripping, query sort, trailing slash, case handling."""
+    from ot_spark.webtext.urltools import canonicalize_url_col
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/b/?z=1&utm_source=t&a=2#x",
+         "https://ex.com/A/b?a=2&z=1"),
+        ("http://ex.com:80/p", "http://ex.com/p"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default kept
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        ("https://sub.www.ex.com/p", "https://sub.www.ex.com/p"),  # only LEADING www.
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        canonicalize_url_col(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases], list(zip(got, cases))
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Fixed-point PageRank: matches an independent pure-python replay
+    exactly (bit-equal BIGINTs) and conserves rank mass up to the
+    documented integer-division truncation."""
+    from ot_spark.graph import SCALE, pagerank_fixed, synthetic_edges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    ranks = pagerank_fixed(
+        edges, docs.select(F.col("doc_id").alias("node")), n, iters=3
+    )
+    rows = {r.node: r.rank for r in ranks.collect()}
+    # python replay (independent of the DataFrame implementation)
+    r = {i: SCALE // n for i in range(n)}
+    base = 15 * (SCALE // n) // 100
+    el = []
+    for i in range(n):
+        ts = [(3 * i + 1) % n, (7 * i + 2) % n, (13 * i + 3) % n][: 1 + i % 3]
+        for t in ts:
+            el.append((i, t, len(ts)))
+    for _ in range(3):
+        s: dict = {}
+        for u, v, d in el:
+            s[v] = s.get(v, 0) + r[u] // d
+        r = {i: base + 85 * s.get(i, 0) // 100 for i in range(n)}
+    assert rows == r
+    mass = sum(rows.values()) / SCALE
+    assert 0.97 < mass <= 1.0  # truncation only ever loses mass
+    assert len(set(rows.values())) > n // 4  # non-degenerate distribution
