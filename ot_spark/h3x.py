@@ -155,6 +155,11 @@ _DIGIT_OF = {  # (di', dj') unit offset -> H3 digit (CENTER,K,J,JK,I,IK,IJ)
     (0, 0): 0, (-1, -1): 1, (0, 1): 2, (-1, 0): 3,
     (1, 0): 4, (0, -1): 5, (1, 1): 6,
 }
+# flat LUT over (di+1)*3 + (dj+1); the two illegal offsets map to 0 but are
+# rejected by the `bad` guard in _up_step before lookup
+_DIGIT_LUT = np.zeros(9, dtype=np.int64)
+for (_oi, _oj), _d in _DIGIT_OF.items():
+    _DIGIT_LUT[(_oi + 1) * 3 + (_oj + 1)] = _d
 _OFF_OF = {d: o for o, d in _DIGIT_OF.items()}
 # ccw 60-degree axis cycle I -> IJ -> J -> JK -> K -> IK -> I
 _CCW_CYCLE = [4, 6, 2, 3, 1, 5]
@@ -193,12 +198,12 @@ def _up_step(i: np.ndarray, j: np.ndarray, child_res: int):
         ci = 3 * pi - pj
         cj = pi + 2 * pj
     di, dj = i - ci, j - cj
-    digit = np.zeros(len(i), dtype=np.int64)
-    for (oi, oj), d in _DIGIT_OF.items():
-        digit = np.where((di == oi) & (dj == oj), d, digit)
     bad = (np.abs(di) > 1) | (np.abs(dj) > 1) | (di * dj < 0)
     if bad.any():  # rounding drift beyond the 7-child neighborhood
         raise AssertionError("up-aperture-7 offset outside unit hex")
+    # one fancy-index instead of seven np.where passes: offsets are in
+    # {-1,0,1}^2, so (di+1)*3 + (dj+1) indexes a 9-entry LUT
+    digit = _DIGIT_LUT[(di + 1) * 3 + (dj + 1)]
     return pi, pj, digit
 
 
@@ -239,9 +244,15 @@ def _latlon_to_xyz(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
 def _best_face(xyz: np.ndarray) -> np.ndarray:
     """Nearest face by dot product, rounded to 12 dp so numpy and the SQL
     oracle take the same branch on ties/ULP wiggle; ties -> lowest index
-    (np.argmax picks the first maximum)."""
+    (np.argmax picks the first maximum).
+
+    Implementation note: argmax over ``rint(dots * 1e12)`` — np.round(x,
+    12) is rint(x*1e12)/1e12 (numpy's scaled-rint), and dividing every
+    entry by the same positive constant preserves both order and
+    equality, so the argmax (and its tie-breaks) is IDENTICAL while the
+    (n, 20) division pass — the encode's hottest line — disappears."""
     _, _, centers, _, _, _, _ = _geometry()
-    dots = np.round(xyz @ centers.T, 12)
+    dots = np.rint((xyz @ centers.T) * 1e12)
     return np.argmax(dots, axis=1)
 
 
@@ -542,10 +553,15 @@ def _encode_core(
     rot = rot_arr[face, i + off, j + off]
     if res:
         digits = _rotate_digits(digits, rot)
-    ids = (np.int64(res) << _RES_SHIFT) | (bc << _BC_SHIFT)
-    for rr in range(1, 16):
-        d = digits[:, rr - 1] if rr <= res else np.int64(7)
-        ids = ids | (d << np.int64(3 * (15 - rr)))
+    # pack all digit triplets in ONE integer matmul (exact in int64) and
+    # fold the constant 7-fill for unused resolutions into one literal
+    fill = np.int64((1 << (3 * (15 - res))) - 1)
+    ids = (np.int64(res) << _RES_SHIFT) | (bc << _BC_SHIFT) | fill
+    if res:
+        weights = np.array(
+            [1 << (3 * (15 - rr)) for rr in range(1, res + 1)], dtype=np.int64
+        )
+        ids = ids | (digits @ weights)
     return ids
 
 
