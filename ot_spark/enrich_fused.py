@@ -11,7 +11,7 @@ This module composes the same primitives into a single struct-returning
 pandas UDF: the JVM side still does everything vectorizable in codegen
 (grid cell, single-cell broadcast join, raster routing CASE, skip masks);
 Python does only the irreducible numpy work (border PIP refine, pixel
-gather, S2/h3ish encode) in one pass.  Semantics are identical to the
+gather, S2/true-H3 encode) in one pass.  Semantics are identical to the
 composed operators — tests/test_fused.py asserts equality row-for-row.
 """
 
@@ -33,7 +33,8 @@ from .cells import grid_cell
 from .raster import (
     ROUTE_JOIN_THRESHOLD, RasterIndex, route_col, route_via_cell_join
 )
-from .s2h3 import h3ish_cell_ids, s2_cell_ids
+from .h3x import h3x_cell_ids, h3x_parent
+from .s2h3 import s2_cell_ids
 
 
 def spatial_enrich(
@@ -173,11 +174,16 @@ def spatial_enrich(
             ser = pd.Series(s2, dtype="Int64")
             ser[~ok] = pd.NA
             out[f"s2_{s2_level}"] = ser
+            # TRUE-GEOMETRY H3 (round 6: retires the last h3ish use in
+            # the headline path): encode the finest resolution once,
+            # derive coarser ones by the parent bit-truncation
+            finest = max(h3_resolutions)
+            hf = np.zeros(n, dtype=np.int64)
+            if ok.any():
+                hf[ok] = h3x_cell_ids(lat_np[ok], lon_np[ok], finest)
             for r in h3_resolutions:
-                h = np.zeros(n, dtype=np.int64)
-                if ok.any():
-                    h[ok] = h3ish_cell_ids(lat_np[ok], lon_np[ok], r)
-                hs = pd.Series(h, dtype="Int64")
+                h = hf if r == finest else h3x_parent(hf, r)
+                hs = pd.Series(h.copy(), dtype="Int64")
                 hs[~ok] = pd.NA
                 out[f"h3_{r}"] = hs
             yield pd.DataFrame(out)

@@ -289,7 +289,9 @@ def with_tiles(
     lat_col: str = "lat",
     lon_col: str = "lon",
 ) -> DataFrame:
-    """FUSED tile encoder: s2 + all h3ish resolutions in ONE pandas UDF.
+    """FUSED tile encoder: s2 + all H3 resolutions in ONE pandas UDF
+    (round 6: h3 columns are TRUE-GEOMETRY h3x ids — finest res encoded
+    once, coarser by parent bit-truncation — matching enrich_fused).
 
     Each distinct pandas UDF in a projection becomes its own
     ArrowEvalPython node with its own per-core Python worker pool — at 32
@@ -316,11 +318,15 @@ def with_tiles(
             ser = pd.Series(s2, dtype="Int64")
             ser[~ok] = pd.NA
             cols[f"s2_{s2_level}"] = ser
+            from .h3x import h3x_cell_ids, h3x_parent
+
+            finest = max(h3_resolutions)
+            hf = np.zeros(len(lat_np), dtype=np.int64)
+            if ok.any():
+                hf[ok] = h3x_cell_ids(lat_np[ok], lon_np[ok], finest)
             for r in h3_resolutions:
-                h = np.zeros(len(lat_np), dtype=np.int64)
-                if ok.any():
-                    h[ok] = h3ish_cell_ids(lat_np[ok], lon_np[ok], r)
-                hs = pd.Series(h, dtype="Int64")
+                h = hf if r == finest else h3x_parent(hf, r)
+                hs = pd.Series(h.copy(), dtype="Int64")
                 hs[~ok] = pd.NA
                 cols[f"h3_{r}"] = hs
             yield pd.DataFrame(cols)
