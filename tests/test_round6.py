@@ -221,3 +221,54 @@ def test_pagerank_fixed_point_properties(spark):
     mass = sum(rows.values()) / SCALE
     assert 0.97 < mass <= 1.0  # truncation only ever loses mass
     assert len(set(rows.values())) > n // 4  # non-degenerate distribution
+
+
+def test_streaming_canonical_url_dedup_matches_batch(spark, tmp_path):
+    """Streaming twin of url_dedup: canonicalization is stateless Column
+    algebra, so it composes with the watermark-bounded streaming dedup
+    unchanged — the stream keeps exactly one row per canonical URL, and
+    the kept canonical set equals the batch url_dedup group keys.  State
+    survives a second availableNow run via the checkpoint."""
+    from ot_spark import streaming
+    from ot_spark.webtext.urltools import (
+        canonicalize_url_col, synthetic_url_col, url_dedup,
+    )
+
+    src = str(tmp_path / "curl_in")
+    ck = str(tmp_path / "curl_ck")
+    out = str(tmp_path / "curl_out")
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, f"2024-03-01 00:{i % 60:02d}:00") for i in ids],
+            "doc_id long, ts_s string",
+        ).select("doc_id", F.col("ts_s").cast("timestamp").alias("warc_ts"))
+
+    docs(range(300)).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    batch = url_dedup(spark.read.parquet(src))
+    expect = {r.canonical_url for r in batch.collect()}
+
+    def canon_stream():
+        st = streaming.stream_pages(spark, src, schema)
+        with_c = st.withColumn(
+            "canonical_url",
+            canonicalize_url_col(synthetic_url_col(F.col("doc_id"))),
+        )
+        return streaming.dedup_stream(with_c, ["canonical_url"])
+
+    streaming.run_to_parquet(canon_stream(), out, ck)
+    got = spark.read.parquet(out)
+    assert {r.canonical_url for r in got.collect()} == expect
+    assert got.count() == len(expect)
+
+    # second run: only-new doc_ids whose canonical URLs all repeat
+    docs(range(300, 600)).coalesce(1).write.mode("append").parquet(src)
+    streaming.run_to_parquet(canon_stream(), out, ck)
+    back = spark.read.parquet(out)
+    # doc_id % 200 / % 50 cycle with period 1800, so ids 300..599 add only
+    # canonical URLs already emitted OR genuinely fresh ones — recompute
+    batch2 = url_dedup(spark.read.parquet(src))
+    expect2 = {r.canonical_url for r in batch2.collect()}
+    assert {r.canonical_url for r in back.collect()} == expect2
+    assert back.select("canonical_url").distinct().count() == back.count()
