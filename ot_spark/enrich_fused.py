@@ -33,7 +33,7 @@ from .cells import grid_cell
 from .raster import (
     ROUTE_JOIN_THRESHOLD, RasterIndex, route_col, route_via_cell_join
 )
-from .h3x import h3x_cell_ids, h3x_parent
+from .h3x import h3x_cell_ids, h3x_parent_col
 from .s2h3 import s2_cell_ids
 
 
@@ -117,8 +117,9 @@ def spatial_enrich(
         StructField("border_key", StringType()),
         StructField("elev", DoubleType()),
         StructField(f"s2_{s2_level}", LongType()),
-    ] + [StructField(f"h3_{r}", LongType()) for r in h3_resolutions]
+    ] + [StructField(f"h3_{max(h3_resolutions)}", LongType())]
     schema = StructType(fields)
+    finest_res = max(h3_resolutions)
 
     @F.pandas_udf(schema)
     def enrich(
@@ -175,17 +176,16 @@ def spatial_enrich(
             ser[~ok] = pd.NA
             out[f"s2_{s2_level}"] = ser
             # TRUE-GEOMETRY H3 (round 6: retires the last h3ish use in
-            # the headline path): encode the finest resolution once,
-            # derive coarser ones by the parent bit-truncation
-            finest = max(h3_resolutions)
+            # the headline path): ONLY the finest resolution crosses the
+            # Arrow boundary — coarser resolutions are derived JVM-side
+            # by the parent bit-truncation (h3x_parent_col), saving one
+            # full Int64 column per extra resolution in the transfer
             hf = np.zeros(n, dtype=np.int64)
             if ok.any():
-                hf[ok] = h3x_cell_ids(lat_np[ok], lon_np[ok], finest)
-            for r in h3_resolutions:
-                h = hf if r == finest else h3x_parent(hf, r)
-                hs = pd.Series(h.copy(), dtype="Int64")
-                hs[~ok] = pd.NA
-                out[f"h3_{r}"] = hs
+                hf[ok] = h3x_cell_ids(lat_np[ok], lon_np[ok], finest_res)
+            hs = pd.Series(hf, dtype="Int64")
+            hs[~ok] = pd.NA
+            out[f"h3_{finest_res}"] = hs
             yield pd.DataFrame(out)
 
     # nondeterministic marker: a downstream projection of a SUBSET of __e
@@ -204,4 +204,9 @@ def spatial_enrich(
         )
     for f_ in fields[2:]:
         df = df.withColumn(f_.name, F.col(f"__e.{f_.name}"))
+    for r in sorted(h3_resolutions):
+        if r != finest_res:
+            df = df.withColumn(
+                f"h3_{r}", h3x_parent_col(F.col(f"h3_{finest_res}"), r)
+            )
     return df.drop(*drop_cols)

@@ -583,6 +583,22 @@ def h3x_parent(ids: np.ndarray, parent_res: int) -> np.ndarray:
     ) | (np.int64(parent_res) << _RES_SHIFT)
 
 
+def h3x_parent_col(ids, parent_res: int):
+    """JVM Column twin of :func:`h3x_parent` — parent truncation is pure
+    bit algebra, so coarser resolutions never need to cross the Arrow
+    boundary: encode the finest resolution in the UDF, derive parents
+    with this expression (null-safe: bit ops on NULL stay NULL)."""
+    from pyspark.sql import functions as F
+
+    low = (1 << (3 * (15 - parent_res))) - 1
+    res_mask = 15 << _RES_SHIFT
+    return (
+        ids.bitwiseOR(F.lit(low).cast("long"))
+        .bitwiseAND(F.lit(~res_mask).cast("long"))
+        .bitwiseOR(F.lit(parent_res << _RES_SHIFT).cast("long"))
+    )
+
+
 def h3x_res(ids: np.ndarray) -> np.ndarray:
     return (np.asarray(ids, dtype=np.int64) >> _RES_SHIFT) & 15
 

@@ -300,9 +300,9 @@ def with_tiles(
     Arrow round-trip for all tile columns."""
     from pyspark.sql.types import StructField, StructType
 
-    fields = [StructField(f"s2_{s2_level}", LongType())] + [
-        StructField(f"h3_{r}", LongType()) for r in h3_resolutions
-    ]
+    finest = max(h3_resolutions)
+    fields = [StructField(f"s2_{s2_level}", LongType()),
+              StructField(f"h3_{finest}", LongType())]
     schema = StructType(fields)
 
     @F.pandas_udf(schema)
@@ -318,17 +318,14 @@ def with_tiles(
             ser = pd.Series(s2, dtype="Int64")
             ser[~ok] = pd.NA
             cols[f"s2_{s2_level}"] = ser
-            from .h3x import h3x_cell_ids, h3x_parent
+            from .h3x import h3x_cell_ids
 
-            finest = max(h3_resolutions)
             hf = np.zeros(len(lat_np), dtype=np.int64)
             if ok.any():
                 hf[ok] = h3x_cell_ids(lat_np[ok], lon_np[ok], finest)
-            for r in h3_resolutions:
-                h = hf if r == finest else h3x_parent(hf, r)
-                hs = pd.Series(h.copy(), dtype="Int64")
-                hs[~ok] = pd.NA
-                cols[f"h3_{r}"] = hs
+            hs = pd.Series(hf, dtype="Int64")
+            hs[~ok] = pd.NA
+            cols[f"h3_{finest}"] = hs
             yield pd.DataFrame(cols)
 
     # nondeterministic marker: stops column pruning from cloning the UDF
@@ -337,4 +334,11 @@ def with_tiles(
     tmp = df.withColumn("__tiles", enc(F.col(lat_col), F.col(lon_col)))
     for f_ in fields:
         tmp = tmp.withColumn(f_.name, F.col(f"__tiles.{f_.name}"))
+    from .h3x import h3x_parent_col
+
+    for r in sorted(h3_resolutions):
+        if r != finest:
+            tmp = tmp.withColumn(
+                f"h3_{r}", h3x_parent_col(F.col(f"h3_{finest}"), r)
+            )
     return tmp.drop("__tiles")
