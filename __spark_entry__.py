@@ -492,6 +492,52 @@ FROM canon GROUP BY canonical_url
 """
 
 
+# --- html_extract (round 6): one page template shared by the Spark builder
+# and the DuckDB oracle so the two replays can never drift. Slots between
+# the parts: source, source, text. Deliberately exercises every extraction
+# stage: script/style element drop, comment drop, tag strip, all six
+# entities, multi-whitespace collapse.
+_HTML_TMPL_PARTS = (
+    "<html><head><title>",
+    '</title><script type="text/javascript">var q = 1 &amp;&amp; 2;</script>'
+    "<style>p { color: #333 }</style></head><!-- boilerplate --><body><h1>",
+    "</h1>\n  <p>",
+    "</p><p>Q &amp; A &lt;escaped&gt;&nbsp;&quot;quoted&quot; &#39;s</p></body></html>",
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> plain-text extraction (round 6; ot_spark/webtext/htmltext.py):
+    the north_star's "byte-identical extracted text per url" derivation —
+    WET-style script/style/comment drop, tag strip, entity decode,
+    whitespace collapse, all chained JVM regexp_replace (map-only, zero
+    shuffles, zero UDFs).  The page is built from the documents table so
+    the oracle can replay the exact bytes; the binary decode path is
+    exercised via encode(page, UTF-8)."""
+    from ot_spark.webtext.htmltext import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _HTML_TMPL_PARTS
+    page = F.concat(
+        F.lit(p[0]), F.col("source"), F.lit(p[1]), F.col("source"),
+        F.lit(p[2]), F.col("text"), F.lit(p[3]),
+    )
+    return docs.select(
+        "doc_id", extract_text(F.encode(page, "UTF-8")).alias("extracted")
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    from ot_spark.webtext.htmltext import oracle_extract_sql
+
+    p = [s.replace("'", "''") for s in _HTML_TMPL_PARTS]
+    page = (
+        f"('{p[0]}' || source || '{p[1]}' || source || "
+        f"'{p[2]}' || text || '{p[3]}')"
+    )
+    return f"SELECT doc_id, {oracle_extract_sql(page)} AS extracted FROM documents"
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over the deterministic link graph (round 6;
     ot_spark/graph.py): BIGINT ranks scaled by 1e12, integer-division
@@ -2156,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_prod": q_ivfpq_prod,
         "url_dedup": q_url_dedup,
         "pagerank": q_pagerank,
+        "html_extract": q_html_extract,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -2903,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "url_dedup": _URL_DEDUP_ORACLE_SQL,
         "pagerank": _pagerank_oracle_sql(),
+        "html_extract": _html_extract_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -1,0 +1,100 @@
+"""HTML -> text extraction as pure JVM Column algebra (WET-style).
+
+The north_star input is an Iceberg table of Common-Crawl-style pages with
+``html: binary`` and ``text: string`` columns, and the per-row invariant is
+"byte-identical extracted text per url" — i.e. the engine must be able to
+RE-DERIVE the text column from the raw html, not merely carry it along.
+This module is that derivation: a Common-Crawl WET-record-style plain-text
+extraction (drop scripts/styles/comments, strip tags, decode the core
+character entities, collapse whitespace), expressed entirely as chained
+``regexp_replace``/``replace`` Column expressions so the whole extraction
+runs inside whole-stage codegen — no Python in the loop, Arrow or
+otherwise, and the binary column is decoded exactly once per row.
+
+Scale shape: map-only (zero shuffles, zero UDFs); throughput is bounded by
+the parquet scan + the JVM regex engine, and the scan prunes to the html
+column alone when no other column is referenced. At 10^12 documents the
+pass is embarrassingly parallel — per-node rates multiply out.
+
+The regex subset is chosen to evaluate IDENTICALLY under Java's regex
+engine (Spark ``regexp_replace``) and RE2 (the DuckDB oracle): inline
+``(?is)`` flags, lazy quantifiers, explicit character classes — no
+backreferences, no lookaround (RE2 has neither).
+
+Reference parity: the reference consumes pre-extracted tags/geometry
+(src/io/ingest.rs reads typed PBF fields); the graft must recover the
+payload from raw crawl bytes first. Entity decode order follows the usual
+single-pass convention: named/numeric entities first, ``&amp;`` LAST, so
+double-escaped input ("&amp;lt;") decodes one level per pass ("&lt;"),
+matching what a browser shows for the same bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Element content that never contributes text. Lazy body + (?is) so nested
+# markup inside the element is consumed; identical semantics in Java/RE2.
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+# Any remaining tag -> a single space (so "</p><p>" never glues words);
+# the whitespace collapse below restores single-space text.
+TAG_RE = r"<[^>]*>"
+# Explicit class instead of \s: Java \s includes \x0B, RE2's does not —
+# the explicit class makes Spark and the DuckDB oracle byte-identical.
+WS_RE = r"[ \t\n\r\f]+"
+
+# (entity, character) in decode order — &amp; MUST stay last.
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html: Column) -> Column:
+    """Plain text of an ``html`` column (binary or string).
+
+    binary input is decoded as UTF-8 first; the result is trimmed,
+    single-spaced text — byte-identical to the page body for markup that
+    wraps it without interleaving (pinned against ot_spark.synth pages in
+    tests/test_round6.py).
+    """
+    s = F.decode(html.cast("binary"), "UTF-8")
+    s = F.regexp_replace(s, SCRIPT_RE, " ")
+    s = F.regexp_replace(s, STYLE_RE, " ")
+    s = F.regexp_replace(s, COMMENT_RE, " ")
+    s = F.regexp_replace(s, TAG_RE, " ")
+    for entity, ch in ENTITIES:
+        s = F.replace(s, F.lit(entity), F.lit(ch))
+    s = F.regexp_replace(s, WS_RE, " ")
+    return F.trim(s)
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Append the extracted plain text; never rewrites the ``text`` column
+    (the byte-identical invariant is extraction-only, parse.py:12)."""
+    return df.withColumn(out_col, extract_text(F.col(html_col)))
+
+
+def oracle_extract_sql(page_expr: str) -> str:
+    """DuckDB replay of extract_text over the SQL expression ``page_expr``.
+
+    Same patterns, same order; DuckDB regexp_replace needs the explicit
+    'g' option (it replaces only the first match by default, where Spark
+    is global). Kept next to the Column chain so the two can never drift.
+    """
+    s = page_expr
+    for pat in (SCRIPT_RE, STYLE_RE, COMMENT_RE, TAG_RE):
+        s = f"regexp_replace({s}, '{pat}', ' ', 'g')"
+    for entity, ch in ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{entity}', '{lit}')"
+    return f"trim(regexp_replace({s}, '{WS_RE}', ' ', 'g'))"

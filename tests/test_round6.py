@@ -272,3 +272,42 @@ def test_streaming_canonical_url_dedup_matches_batch(spark, tmp_path):
     expect2 = {r.canonical_url for r in batch2.collect()}
     assert {r.canonical_url for r in back.collect()} == expect2
     assert back.select("canonical_url").distinct().count() == back.count()
+
+
+def test_html_extract_byte_identical_to_body(spark, pages):
+    """north_star invariant (BASELINE.json input_hint): byte-identical
+    extracted text per url, derived from the RAW html bytes.  synth pages
+    wrap the body verbatim in markup; rows with gt_src='text' append
+    coords to the text column only (not to html), so for every other row
+    extract_text(html) must equal the text column byte-for-byte."""
+    from ot_spark.webtext.htmltext import with_extracted_text
+
+    out = with_extracted_text(pages)
+    comparable = out.where(F.col("gt_src") != "text")
+    assert comparable.count() > 0
+    mismatched = comparable.where(
+        ~F.col("extracted_text").eqNullSafe(F.col("text"))
+    ).count()
+    assert mismatched == 0
+    # html-mode rows carry coordinates only in a meta ATTRIBUTE — tag strip
+    # must not leak attribute content into the extracted text
+    assert out.where(F.col("extracted_text").contains("geo.position")).count() == 0
+
+
+def test_html_extract_units(spark):
+    """Entity decode order, element drops, case-insensitivity, collapse."""
+    from ot_spark.webtext.htmltext import extract_text
+
+    cases = [
+        ("<p>a  b</p>\n<p>c</p>", "a b c"),
+        ("<script>var x = '<p>no</p>';</script>yes", "yes"),
+        ("<style>p{color:red}</style>ok", "ok"),
+        ("<!-- hidden -->shown", "shown"),
+        ('Q &amp; A &lt;b&gt; &#39;x&quot;&nbsp;y', 'Q & A <b> \'x" y'),
+        ("&amp;lt;", "&lt;"),  # one decode level per pass; &amp; is LAST
+        ("<SCRIPT>UP</SCRIPT>done", "done"),
+        ("<script a=1>s</script>t<script>u</script>v", "t v"),  # lazy + global
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["html"])
+    got = [r[0] for r in df.select(extract_text(F.col("html"))).collect()]
+    assert got == [want for _, want in cases]
