@@ -527,6 +527,59 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link_extract (round 6): anchor template shared by both replays.
+# Slots: target-1 id, target-2 id (deterministic doc_id arithmetic, the
+# pagesview pattern). Exercises: fragment-only link (no edge), relative
+# link (extracted, then filtered by the absolute-only predicate), a plain
+# lowercase absolute link, and an uppercase <A HREF> with attribute noise,
+# an entity-escaped query and a #fragment to strip.
+_LINK_TMPL_PARTS = (
+    '<html><body><p>see <a href="#top">top</a>, <a href="/rel/p">rel</a>, '
+    '<a href="https://site',
+    '.org/a">one</a> and <A CLASS="x" HREF="HTTPS://WWW.Site',
+    '.ORG/b?utm_source=f&amp;q=1#frag">two</A></p></body></html>',
+)
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from raw html (round 6; htmltext.extract_links):
+    the crawl-graph front end that feeds url canonicalization and
+    pagerank.  Per page: regexp_extract_all of double-quoted hrefs
+    (fragment stripped at capture), explode, keep absolute http(s) links
+    — one map-only pass plus the explode, no shuffles, no UDFs."""
+    from ot_spark.webtext.htmltext import extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _LINK_TMPL_PARTS
+    page = F.concat(
+        F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
+        F.lit(p[1]), ((F.col("doc_id") * 7 + 3) % 1000).cast("string"),
+        F.lit(p[2]),
+    )
+    links = docs.select(
+        "doc_id", F.explode(extract_links(F.encode(page, "UTF-8"))).alias("href")
+    )
+    return links.where(F.lower(F.col("href")).startswith("http"))
+
+
+def _link_extract_oracle_sql() -> str:
+    from ot_spark.webtext.htmltext import HREF_RE
+
+    p = [s.replace("'", "''") for s in _LINK_TMPL_PARTS]
+    page = (
+        f"('{p[0]}' || CAST((doc_id*3+1) % 1000 AS VARCHAR) || "
+        f"'{p[1]}' || CAST((doc_id*7+3) % 1000 AS VARCHAR) || '{p[2]}')"
+    )
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({page}, '{HREF_RE}', 1)) AS href
+  FROM documents
+)
+SELECT doc_id, href FROM x WHERE lower(href) LIKE 'http%'
+"""
+
+
 def _html_extract_oracle_sql() -> str:
     from ot_spark.webtext.htmltext import oracle_extract_sql
 
@@ -2203,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "pagerank": q_pagerank,
         "html_extract": q_html_extract,
+        "link_extract": q_link_extract,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -2951,6 +3005,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_ORACLE_SQL,
         "pagerank": _pagerank_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
+        "link_extract": _link_extract_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

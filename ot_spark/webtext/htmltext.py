@@ -84,6 +84,32 @@ def with_extracted_text(
     return df.withColumn(out_col, extract_text(F.col(html_col)))
 
 
+# Anchor hrefs, double-quoted form (the overwhelming majority in crawl
+# HTML; single-quoted/bare attrs are out of the WET-style scope). The
+# capture stops at '#' (fragments are never part of the fetch key — same
+# rule as urltools canonicalization) and requires >=1 char, so pure
+# fragment links ("#top") produce no edge at all. Java/RE2-portable.
+HREF_RE = r'(?i)<a\b[^>]*\bhref\s*=\s*"([^"#]+)'
+
+
+def extract_links(html: Column) -> Column:
+    """``array<string>`` of raw href values in document order.
+
+    The crawl-graph front end: html -> hrefs here, then
+    urltools.canonicalize_url_col per href and graph.pagerank over the
+    (page, href) edges. Map-only JVM regex, one decode per row, same
+    codegen shape as extract_text."""
+    s = F.decode(html.cast("binary"), "UTF-8")
+    return F.regexp_extract_all(s, F.lit(HREF_RE), F.lit(1))
+
+
+def with_links(
+    df: DataFrame, html_col: str = "html", out_col: str = "links"
+) -> DataFrame:
+    """Append the raw outlink array extracted from ``html_col``."""
+    return df.withColumn(out_col, extract_links(F.col(html_col)))
+
+
 def oracle_extract_sql(page_expr: str) -> str:
     """DuckDB replay of extract_text over the SQL expression ``page_expr``.
 

@@ -311,3 +311,37 @@ def test_html_extract_units(spark):
     df = spark.createDataFrame([(c,) for c, _ in cases], ["html"])
     got = [r[0] for r in df.select(extract_text(F.col("html"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_extract_links_units(spark):
+    """href capture: document order, fragment-only skipped, fragment
+    stripped, attribute noise + case-insensitivity, relative kept raw."""
+    from ot_spark.webtext.htmltext import extract_links
+
+    html = (
+        '<a href="#top">t</a> <A HREF="HTTPS://A.ORG/b#frag">y</A> '
+        '<a class="z" href="https://b.org/c?q=1">z</a> <a href="/rel">r</a>'
+    )
+    got = (
+        spark.createDataFrame([(html,)], ["html"])
+        .select(extract_links(F.col("html")).alias("links"))
+        .first()["links"]
+    )
+    assert got == ["HTTPS://A.ORG/b", "https://b.org/c?q=1", "/rel"]
+
+
+def test_extract_links_feed_canonicalizer(spark):
+    """The crawl-graph composition: extracted absolute hrefs are valid
+    input to urltools.canonicalize_url_col (fragment already gone at
+    capture, so canonicalization only normalizes scheme/host/port/query)."""
+    from ot_spark.webtext.htmltext import extract_links
+    from ot_spark.webtext.urltools import canonicalize_url_col
+
+    html = '<a href="HTTPS://WWW.Site1.ORG:443/b?utm_source=f&q=1#x">l</a>'
+    out = (
+        spark.createDataFrame([(html,)], ["html"])
+        .select(F.explode(extract_links(F.col("html"))).alias("href"))
+        .select(canonicalize_url_col(F.col("href")).alias("canon"))
+        .first()["canon"]
+    )
+    assert out == "https://site1.org/b?q=1"
