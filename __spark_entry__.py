@@ -912,6 +912,125 @@ FROM s GROUP BY 1
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (round 6; curate.ccnet_buckets):
+    per-source perplexity ntile — the published filtering step between LM
+    scoring and pretraining-set selection.  Exact-window path here (the
+    oracle reference); the 100-TB path is ccnet_bucket_thresholds
+    (percentile sketch + map-side compare, parity pytest-pinned)."""
+    from ot_spark.webtext.curate import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ccnet_buckets(docs, total_tokens=_total_tokens(spark, sf_dir))
+
+
+_CCNET_BUCKETS_ORACLE_SQL_TMPL = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+v AS (SELECT term, count(*) AS c FROM e GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM v),
+s AS (
+  SELECT e.doc_id, -ln(v.c / CAST(tot.n AS DOUBLE)) AS nl
+  FROM e JOIN v USING (term) CROSS JOIN tot
+),
+p AS (SELECT doc_id, round(avg(nl), 6) AS avg_neg_logp FROM s GROUP BY 1),
+j AS (
+  SELECT p.doc_id, d.source, p.avg_neg_logp
+  FROM p JOIN documents d USING (doc_id)
+),
+n AS (
+  SELECT *, ntile(3) OVER (
+    PARTITION BY source ORDER BY avg_neg_logp ASC, doc_id ASC
+  ) AS b FROM j
+)
+SELECT doc_id, source, avg_neg_logp,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM n
+"""
+
+
+def q_crawl_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of crawl-snapshot selection (round 6; crawldiff.latest_snapshot):
+    latest live revision of every page at a cutoff — the "which crawl
+    wins" dedup that precedes every content operator.  One partial-
+    aggregable shuffle (max over a warc_epoch-ordered struct), no window
+    sort.  Revisions are derived deterministically from documents so the
+    DuckDB oracle replays the identical crawl log."""
+    from ot_spark.webtext.crawldiff import (
+        CRAWL_EPOCH, DAY, latest_snapshot, synthetic_revisions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return latest_snapshot(synthetic_revisions(docs), CRAWL_EPOCH + 6 * DAY)
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot CDC (round 6; crawldiff.crawl_delta): classify
+    every page between two cutoffs as added/removed/changed/unchanged so
+    an incremental re-process touches only the changed slice."""
+    from ot_spark.webtext.crawldiff import (
+        CRAWL_EPOCH, DAY, crawl_delta, synthetic_revisions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return crawl_delta(
+        synthetic_revisions(docs), CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY
+    )
+
+
+# Mirrors crawldiff.synthetic_revisions rule-for-rule (module docstring).
+_CRAWL_REVS_SQL = """
+SELECT doc_id, CAST(rev AS INT) AS rev,
+       1735689600 + (doc_id % 11) * 86400
+         + rev * 86400 * (1 + doc_id % 5) AS warc_epoch,
+       (doc_id * 2654435761
+         + CASE WHEN doc_id % 6 = 1 THEN 0 ELSE rev * 97 END
+       ) % 1000000007 AS content_sig,
+       (doc_id % 7 = 3 AND rev = doc_id % 3) AS is_deleted
+FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS rev FROM documents)
+"""
+
+_CRAWL_ASOF_ORACLE_SQL = f"""
+WITH r AS ({_CRAWL_REVS_SQL}),
+f AS (SELECT * FROM r WHERE warc_epoch <= {1735689600 + 6 * 86400})
+SELECT doc_id, warc_epoch, rev, content_sig
+FROM f
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY warc_epoch DESC, rev DESC
+) = 1 AND NOT is_deleted
+"""
+
+_CRAWL_DELTA_ORACLE_SQL = f"""
+WITH r AS ({_CRAWL_REVS_SQL}),
+o AS (SELECT doc_id, content_sig, is_deleted FROM r
+      WHERE warc_epoch <= {1735689600 + 4 * 86400}
+      QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY warc_epoch DESC, rev DESC) = 1),
+n AS (SELECT doc_id, content_sig, is_deleted FROM r
+      WHERE warc_epoch <= {1735689600 + 12 * 86400}
+      QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY warc_epoch DESC, rev DESC) = 1),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         (o.is_deleted IS NOT NULL AND NOT o.is_deleted) AS olive,
+         (n.is_deleted IS NOT NULL AND NOT n.is_deleted) AS nlive,
+         o.content_sig AS os, n.content_sig AS ns
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+), c AS (
+  SELECT doc_id,
+         CASE WHEN NOT olive AND nlive THEN 'added'
+              WHEN olive AND NOT nlive THEN 'removed'
+              WHEN olive AND nlive AND os <> ns THEN 'changed'
+              WHEN olive AND nlive THEN 'unchanged'
+         END AS status,
+         CASE WHEN olive THEN os END AS old_sig,
+         CASE WHEN nlive THEN ns END AS new_sig
+  FROM j
+)
+SELECT * FROM c WHERE status IS NOT NULL
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source (distributed term weighting)."""
     from ot_spark.webtext.curate import tfidf_top_terms
@@ -2257,6 +2376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "html_extract": q_html_extract,
         "link_extract": q_link_extract,
+        "ccnet_buckets": q_ccnet_buckets,
+        "crawl_asof": q_crawl_asof,
+        "crawl_delta": q_crawl_delta,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3006,6 +3128,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
+        "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
+        "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
+        "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -387,3 +387,63 @@ def bigram_logprob(
             F.round(F.avg("nl"), 6).alias("avg_neg_logp"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    total_tokens: int,
+    by_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): rank documents by
+    LM perplexity WITHIN each group and cut into ``n_buckets`` equal-count
+    buckets — head = lowest perplexity (most LM-like), the slice CCNet
+    keeps for pretraining.
+
+    Exact semantics: ntile over (perplexity ASC, doc_id ASC) per group —
+    deterministic and replayable bit-for-bit in the DuckDB oracle.  The
+    window sorts WITHIN each group; CCNet's groups are per-language (a few
+    hundred), so at 100 TB a single group is billions of rows and an exact
+    per-group total order is one giant sort.  The published pipeline
+    sidesteps it exactly like :func:`ccnet_bucket_thresholds` below:
+    compute the two cut points from a sample, then bucket map-side.  The
+    exact window is the correctness reference and the right tool at
+    per-shard cardinalities."""
+    scored = unigram_logprob(df, total_tokens=total_tokens)
+    scored = scored.join(df.select("doc_id", by_col), "doc_id")
+    w = Window.partitionBy(by_col).orderBy(
+        F.asc("avg_neg_logp"), F.asc("doc_id")
+    )
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    b = F.ntile(n_buckets).over(w)
+    out = scored.withColumn(
+        "bucket",
+        F.element_at(labels, b) if n_buckets == 3 else b.cast("string"),
+    )
+    return out.select("doc_id", by_col, "avg_neg_logp", "bucket")
+
+
+def ccnet_bucket_thresholds(
+    df: DataFrame,
+    total_tokens: int,
+    by_col: str = "source",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """The 100-TB bucketing path: per-group perplexity cut points via
+    ``percentile_approx`` (one partial-aggregable pass, no per-group total
+    order), broadcast back and compared map-side.  Bucket boundaries can
+    differ from the exact ntile by the sketch tolerance — CCNet itself
+    computes them from a 1% sample; parity at gate scale is pytest-pinned
+    (tests/test_round6.py)."""
+    scored = unigram_logprob(df, total_tokens=total_tokens)
+    scored = scored.join(df.select("doc_id", by_col), "doc_id")
+    cuts = scored.groupBy(by_col).agg(
+        F.percentile_approx("avg_neg_logp", list(probs), 100000).alias("cuts")
+    )
+    out = scored.join(F.broadcast(cuts), by_col)
+    b = (
+        F.when(F.col("avg_neg_logp") <= F.col("cuts")[0], F.lit("head"))
+        .when(F.col("avg_neg_logp") <= F.col("cuts")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select("doc_id", by_col, "avg_neg_logp", b.alias("bucket"))
