@@ -1000,8 +1000,8 @@ QUALIFY row_number() OVER (
 ) = 1 AND NOT is_deleted
 """
 
-_CRAWL_DELTA_ORACLE_SQL = f"""
-WITH r AS ({_CRAWL_REVS_SQL}),
+# Shared CTE chain for the delta oracles (t1 = epoch+4d, t2 = epoch+12d).
+_CRAWL_DELTA_CTES = f"""r AS ({_CRAWL_REVS_SQL}),
 o AS (SELECT doc_id, content_sig, is_deleted FROM r
       WHERE warc_epoch <= {1735689600 + 4 * 86400}
       QUALIFY row_number() OVER (
@@ -1026,8 +1026,62 @@ j AS (
          CASE WHEN olive THEN os END AS old_sig,
          CASE WHEN nlive THEN ns END AS new_sig
   FROM j
-)
+)"""
+
+_CRAWL_DELTA_ORACLE_SQL = f"""
+WITH {_CRAWL_DELTA_CTES}
 SELECT * FROM c WHERE status IS NOT NULL
+"""
+
+
+def q_incremental_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-enrichment (round 6): the north rule's resume story
+    made concrete — between two crawl cutoffs, ONLY added/changed pages
+    re-run the flagship enrichment (broadcast PIP admin join + raster
+    elevation lookup).  At 100 TB a monthly re-crawl touches a few
+    percent of pages; the CDC slice makes enrichment cost proportional to
+    the delta, not the corpus.  The delta and the pages table share the
+    doc_id key (one co-partitioned join; exchange-free under the Iceberg
+    bucket layout from lineage.py), and enrichment inputs stay
+    broadcast-sized (admin polygons, raster tile index)."""
+    from ot_spark.raster import enrich_with_elevation
+    from ot_spark.webtext.crawldiff import (
+        CRAWL_EPOCH, DAY, crawl_delta, synthetic_revisions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    delta = crawl_delta(
+        synthetic_revisions(docs), CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY
+    )
+    work = delta.where(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id", "status")
+    pages = pagesview.pages_df(spark, sf_dir).where(_off_boundary_col())
+    out = spatial_join.enrich_with_admin(pages.join(work, "doc_id"), _admin_index())
+    out = enrich_with_elevation(out, _raster_index())
+    return out.select("doc_id", "status", "admin_key", "raster_id", "elev")
+
+
+def _incremental_enrich_oracle_sql() -> str:
+    rid_case, val_case = _elevation_cases()
+    return f"""
+WITH {_CRAWL_DELTA_CTES},
+d AS (SELECT doc_id, status FROM c WHERE status IN ('added', 'changed')),
+pts AS (
+  SELECT doc_id, {pagesview.LAT_SQL} AS lat, {pagesview.LON_SQL} AS lon
+  FROM documents
+  WHERE {_OFF_BOUNDARY_SQL}
+)
+SELECT d.doc_id, d.status,
+       CASE
+         WHEN lon > 1.5 AND lon < 2.5 AND lat > 1.5 AND lat < 2.5 THEN 'SQA'
+         WHEN lon > 2.5 AND lon < 4.5 AND lat > 1.5 AND lat < 2.5 THEN 'REC'
+         WHEN lat > 1.5 AND lon > lat + 4.0 AND lon < 9.0 - lat THEN 'TRI'
+         WHEN lon > 7.0 AND lon < 8.0 AND lat > 3.0 AND lat < 4.0 THEN 'EDG'
+       END AS admin_key,
+       {rid_case} AS raster_id,
+       {val_case} AS elev
+FROM d JOIN pts USING (doc_id)
 """
 
 
@@ -1845,8 +1899,10 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 cell encode (level 10) + per-cell rollup (north_star tiling;
-    rows-only: id algebra pinned by tests/test_s2h3.py invariants)."""
+    """S2 cell encode (level 10) + per-cell rollup (north_star tiling).
+    Full oracle: _s2_tiles_oracle_sql replays the whole encode (face/uv,
+    quadratic ST, Hilbert LUT walk) in DuckDB; id algebra additionally
+    pinned by tests/test_s2h3.py invariants."""
     from ot_spark.s2h3 import with_s2_cell
 
     df = pagesview.pages_df(spark, sf_dir)
@@ -2379,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "crawl_asof": q_crawl_asof,
         "crawl_delta": q_crawl_delta,
+        "incremental_enrich": q_incremental_enrich,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3131,6 +3188,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
         "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,
+        "incremental_enrich": _incremental_enrich_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

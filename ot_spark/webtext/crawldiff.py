@@ -21,11 +21,13 @@ Scale shape (100 TB):
   partition.  No window sort, no secondary sort: the classic
   `row_number() over (partition by url order by ts desc) = 1` plan sorts
   every revision group; max-struct aggregates them.
-- `crawl_delta` joins two as-of states on the key.  Both sides hash the
-  SAME key, so AQE plans a single co-partitioned SortMergeJoin; with the
-  revisions table Iceberg-bucketed by key (lineage.py sink) the exchange
-  disappears entirely.  Tombstones ride along so "removed" needs no
-  anti-join pass.
+- `crawl_delta` needs the latest state at BOTH cutoffs — but never joins:
+  both as-of states come out of ONE scan and ONE shuffle as two
+  conditional aggregates over the same group (`max(when(ts<=t1, s))`
+  alongside `max(s)` over rows `<= t2`).  A self-join of two windowed
+  snapshots — the textbook formulation — would scan and shuffle the
+  revision log twice and add a join; the fused aggregate halves that.
+  Tombstones ride along so "removed" needs no anti-join pass.
 
 Keys are `doc_id` here (the gate's page identity); at 100 TB the key is
 `xxhash64(canonical_url)` from urltools.canonicalize_url_col — same plan.
@@ -123,10 +125,26 @@ def crawl_delta(revs: DataFrame, t1_epoch: int, t2_epoch: int) -> DataFrame:
     """CDC between two as-of states: for every key live at either cutoff,
     status in {added, removed, changed, unchanged}.  Keys dead at both
     cutoffs (tombstoned before t1) are dropped.  Columns: doc_id, status,
-    old_sig, new_sig (sigs NULL on the side where the page is not live)."""
-    old = _latest_state(revs, t1_epoch).alias("o")
-    new = _latest_state(revs, t2_epoch).alias("n")
-    j = old.join(new, "doc_id", "full_outer")
+    old_sig, new_sig (sigs NULL on the side where the page is not live).
+
+    Single-pass plan: one scan of the revision log, one shuffle, NO join —
+    `max` skips the NULLs `when()` produces, so the t1 state is a
+    conditional aggregate computed alongside the t2 state in the same
+    group (plan-guarded in tests/test_round6.py).  The DuckDB oracle
+    keeps the independent two-snapshot FULL OUTER JOIN formulation, so
+    the fused plan is cross-checked against the textbook one."""
+    s = F.struct(
+        F.col("warc_epoch"), F.col("rev"),
+        F.col("content_sig"), F.col("is_deleted"),
+    )
+    agg = (
+        revs.where(F.col("warc_epoch") <= t2_epoch)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("warc_epoch") <= t1_epoch, s)).alias("o"),
+            F.max(s).alias("n"),
+        )
+    )
     status = _status(
         F.col("o.is_deleted"), F.col("n.is_deleted"),
         F.col("o.content_sig"), F.col("n.content_sig"),
@@ -139,7 +157,7 @@ def crawl_delta(revs: DataFrame, t1_epoch: int, t2_epoch: int) -> DataFrame:
         )
     )
     return (
-        j.select(
+        agg.select(
             "doc_id",
             status.alias("status"),
             live("o").alias("old_sig"),

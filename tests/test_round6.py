@@ -471,3 +471,22 @@ def test_crawl_delta_covers_all_classes_and_is_consistent(spark, crawl_revs):
             assert r["old_sig"] is None and r["new_sig"] == s2[r["doc_id"]]
         elif r["status"] == "removed":
             assert r["new_sig"] is None and r["old_sig"] == s1[r["doc_id"]]
+
+
+def test_crawl_delta_single_pass_no_join(spark):
+    """crawl_delta computes BOTH as-of states as conditional aggregates in
+    one group pass: one scan, one shuffle, no join (the DuckDB oracle
+    keeps the two-snapshot full-outer formulation as the cross-check)."""
+    from ot_spark.webtext.crawldiff import (
+        CRAWL_EPOCH, DAY, crawl_delta, synthetic_revisions,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta = crawl_delta(
+        synthetic_revisions(docs), CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY
+    )
+    plan = _formatted_plan(delta)
+    assert plan.count("Exchange (") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_max" in plan
+    assert plan.count("ReadSchema") == 1  # one scan of the revision log
