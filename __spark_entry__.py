@@ -949,6 +949,56 @@ FROM n
 """
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (round 6): raw html -> extract_links ->
+    host_col on both endpoints -> inter-host edge counts — the
+    aggregation behind Common Crawl's published host-level webgraph.
+    One explode + one groupBy shuffle on (src_host, dst_host); host
+    parsing is the same JVM regex chain the canonicalizer uses, so the
+    whole path stays inside codegen.  The DuckDB oracle re-derives every
+    edge ARITHMETICALLY from doc_id (template k-values -> host strings),
+    independent of the regex pipeline it checks."""
+    from ot_spark.webtext.htmltext import extract_links
+    from ot_spark.webtext.urltools import host_col, synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _LINK_TMPL_PARTS
+    page = F.concat(
+        F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
+        F.lit(p[1]), ((F.col("doc_id") * 7 + 3) % 1000).cast("string"),
+        F.lit(p[2]),
+    )
+    links = docs.select(
+        host_col(synthetic_url_col(F.col("doc_id"))).alias("src_host"),
+        F.explode(extract_links(F.encode(page, "UTF-8"))).alias("href"),
+    ).where(F.lower(F.col("href")).startswith("http"))
+    return (
+        links.select("src_host", host_col(F.col("href")).alias("dst_host"))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+# Independent arithmetic re-derivation: the synthetic page template links
+# to site{(3d+1)%1000}.org and (via WWW./:ORG casing) site{(7d+3)%1000}.org;
+# the source host canonicalizes to site{d%50}.org.  No regex involved.
+_HOST_GRAPH_ORACLE_SQL = """
+WITH e AS (
+  SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS src_host,
+         'site' || CAST((doc_id * 3 + 1) % 1000 AS VARCHAR) || '.org' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.org',
+         'site' || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) || '.org'
+  FROM documents
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e WHERE src_host <> dst_host
+GROUP BY 1, 2
+"""
+
+
 def q_crawl_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of crawl-snapshot selection (round 6; crawldiff.latest_snapshot):
     latest live revision of every page at a cutoff — the "which crawl
@@ -2433,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "link_extract": q_link_extract,
         "ccnet_buckets": q_ccnet_buckets,
+        "host_graph": q_host_graph,
         "crawl_asof": q_crawl_asof,
         "crawl_delta": q_crawl_delta,
         "incremental_enrich": q_incremental_enrich,
@@ -3186,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
+        "host_graph": _HOST_GRAPH_ORACLE_SQL,
         "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,
         "incremental_enrich": _incremental_enrich_oracle_sql(),

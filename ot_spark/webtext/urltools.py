@@ -110,3 +110,26 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min(id_col).alias("keeper"),
     )
+
+
+def host_col(url: Column) -> Column:
+    """Host key for the host-level link graph: lowercased, default port
+    stripped per scheme, leading ``www.`` removed, fragment ignored.
+    The same steps canonicalize_url_col applies to the authority part —
+    kept as its own Column helper so host aggregation never pays for the
+    path/query work."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"://([^/?#]+)", 1))
+    host = (
+        F.when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.regexp_replace(hostport, ":443$", ""),
+        )
+        .when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.regexp_replace(hostport, ":80$", ""),
+        )
+        .otherwise(hostport)
+    )
+    return F.regexp_replace(host, r"^www\.", "")

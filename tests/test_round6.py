@@ -490,3 +490,18 @@ def test_crawl_delta_single_pass_no_join(spark):
     assert "Join" not in plan, plan
     assert "partial_max" in plan
     assert plan.count("ReadSchema") == 1  # one scan of the revision log
+
+
+def test_host_col_cases(spark):
+    from ot_spark.webtext.urltools import host_col
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b?q=1#x", "ex.com"),
+        ("http://ex.com:80/p", "ex.com"),
+        ("http://ex.com:8080/p", "ex.com:8080"),
+        ("https://sub.www.ex.com/p", "sub.www.ex.com"),
+        ("https://WWW.site7.ORG", "site7.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["h"] for r in df.select(host_col(F.col("url")).alias("h")).collect()]
+    assert got == [e for _, e in cases]
