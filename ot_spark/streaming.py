@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StructField, StructType, TimestampNTZType, TimestampType
+    BooleanType, IntegerType, LongType, StructField, StructType,
+    TimestampNTZType, TimestampType,
 )
 
 from . import filters
@@ -261,3 +262,75 @@ def run_to_parquet(stream: DataFrame, out_dir: str, checkpoint: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+_ASOF_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("warc_epoch", LongType()),
+        StructField("rev", IntegerType()),
+        StructField("content_sig", LongType()),
+        StructField("is_deleted", BooleanType()),
+    ]
+)
+_ASOF_STATE = StructType(
+    [
+        StructField("warc_epoch", LongType()),
+        StructField("rev", IntegerType()),
+        StructField("content_sig", LongType()),
+        StructField("is_deleted", BooleanType()),
+    ]
+)
+
+
+def _latest_wins_fn():
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for t in pdf[
+                ["warc_epoch", "rev", "content_sig", "is_deleted"]
+            ].itertuples(index=False):
+                cand = (int(t[0]), int(t[1]), int(t[2]), bool(t[3]))
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "warc_epoch": [best[0]],
+                "rev": [best[1]],
+                "content_sig": [best[2]],
+                "is_deleted": [best[3]],
+            }
+        )
+
+    return fn
+
+
+def latest_wins_stream(revs: DataFrame) -> DataFrame:
+    """Streaming twin of crawldiff.latest_snapshot: per-page
+    latest-revision-wins upsert over an unbounded, possibly OUT-OF-ORDER
+    crawl feed.  State per key = the winning (warc_epoch, rev,
+    content_sig, is_deleted); each micro-batch emits the current winner
+    for every key it touched — an append-mode CDC log of upsert records
+    (a file sink collects it; the consumer applies last-writer-wins).
+    Winners only ever advance, so the max-(warc_epoch, rev) row per key
+    across ALL emitted output equals the batch as-of state over the same
+    log — the parity tests/test_round6.py pins, including across a
+    checkpoint restart.
+
+    State here never expires (a page can always be re-crawled); a
+    deployment that bounds state can swap NoTimeout for an event-time
+    timeout at its re-crawl horizon, accepting that a key quiet longer
+    than the horizon re-enters as 'new'."""
+    return revs.groupBy("doc_id").applyInPandasWithState(
+        _latest_wins_fn(),
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -505,3 +505,47 @@ def test_host_col_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["h"] for r in df.select(host_col(F.col("url")).alias("h")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_streaming_latest_wins_matches_batch_asof(spark, tmp_path):
+    """Streaming twin of crawldiff.latest_snapshot: revisions arrive
+    OUT OF ORDER across two availableNow runs (state survives the
+    checkpoint restart); applying last-writer-wins to the emitted CDC
+    log reproduces the batch as-of state over the full log exactly."""
+    from ot_spark import streaming
+    from ot_spark.webtext.crawldiff import _latest_state, synthetic_revisions
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    revs = synthetic_revisions(docs)
+    src = str(tmp_path / "revs_in")
+    ck = str(tmp_path / "revs_ck")
+    out = str(tmp_path / "revs_out")
+
+    # interleave arrivals: chunk 1 holds ~half of each key's revisions
+    # (later revisions of some keys arrive BEFORE earlier ones)
+    revs.where((F.col("doc_id") + F.col("rev")) % 2 == 0) \
+        .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def st():
+        return streaming.latest_wins_stream(
+            streaming.stream_pages(spark, src, schema)
+        )
+
+    streaming.run_to_parquet(st(), out, ck)
+    revs.where((F.col("doc_id") + F.col("rev")) % 2 == 1) \
+        .coalesce(1).write.mode("append").parquet(src)
+    streaming.run_to_parquet(st(), out, ck)
+
+    emitted = spark.read.parquet(out)
+    # last-writer-wins over the CDC log
+    got = (
+        emitted.groupBy("doc_id")
+        .agg(F.max(F.struct("warc_epoch", "rev", "content_sig",
+                            "is_deleted")).alias("s"))
+        .select("doc_id", "s.*")
+    )
+    expect = _latest_state(revs, 10 ** 12)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e and len(g) == docs.count()
