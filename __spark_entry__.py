@@ -949,6 +949,46 @@ FROM n
 """
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record source (round 6; webtext/warc.py): each page's
+    revision log serialized into Common Crawl's length-framed wire format
+    (JVM Column algebra), then parsed back by the mapInPandas
+    Content-Length framing walk.  Payloads for doc_id%13==0 EMBED the
+    record marker, so a delimiter-split parser fails this gate.  The
+    DuckDB oracle re-derives every record arithmetically — it never
+    parses — so framing, header-order tolerance, and the ISO-date
+    round-trip are all checked against an independent derivation."""
+    from ot_spark.webtext.warc import parse_warc_records, synthetic_warc_blob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
+    )
+    return parse_warc_records(blobs)
+
+
+_WARC_PARSE_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(rev AS INT) AS rec_idx,
+         1735689600 + (doc_id % 11) * 86400
+           + rev * 86400 * (1 + doc_id % 5) AS warc_epoch,
+         'rec:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rev AS VARCHAR)
+           || ':' ||
+           CASE WHEN doc_id % 13 = 0 THEN 'WARC/1.0' || chr(13) || chr(10)
+                ELSE repeat('x', CAST((doc_id + rev) % 17 AS INT)) END
+           AS payload
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS rev FROM documents)
+)
+SELECT doc_id, rec_idx,
+       'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.org/p/'
+         || CAST(doc_id % 200 AS VARCHAR) AS target_uri,
+       warc_epoch,
+       CAST(length(payload) AS BIGINT) AS content_length,
+       payload
+FROM base
+"""
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph (round 6): raw html -> extract_links ->
     host_col on both endpoints -> inter-host edge counts — the
@@ -2483,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "link_extract": q_link_extract,
         "ccnet_buckets": q_ccnet_buckets,
+        "warc_parse": q_warc_parse,
         "host_graph": q_host_graph,
         "crawl_asof": q_crawl_asof,
         "crawl_delta": q_crawl_delta,
@@ -3237,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
+        "warc_parse": _WARC_PARSE_ORACLE_SQL,
         "host_graph": _HOST_GRAPH_ORACLE_SQL,
         "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,

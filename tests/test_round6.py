@@ -549,3 +549,39 @@ def test_streaming_latest_wins_matches_batch_asof(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expect.collect()}
     assert g == e and len(g) == docs.count()
+
+
+def test_warc_framing_is_content_length_not_delimiter(spark):
+    """doc_id % 13 == 0 payloads EMBED the 'WARC/1.0\\r\\n' marker: the
+    Content-Length walk must keep it inside the payload (a delimiter
+    split would truncate the record and desynchronize)."""
+    from ot_spark.webtext.warc import parse_warc_records, synthetic_warc_blob
+
+    docs = spark.createDataFrame([(13,), (26,), (39,)], ["doc_id"])
+    blobs = docs.select(
+        "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
+    )
+    rows = parse_warc_records(blobs).collect()
+    # 13 -> 2 revs, 26 -> 3, 39 -> 1
+    assert len(rows) == 2 + 3 + 1
+    for r in rows:
+        assert r["payload"].endswith("WARC/1.0\r\n"), r
+        assert r["content_length"] == len(r["payload"])
+        assert r["target_uri"].startswith("https://site")
+
+
+def test_warc_parser_raises_on_malformed(spark):
+    from ot_spark.webtext.warc import _parse_blob
+
+    out = {k: [] for k in (
+        "doc_id", "rec_idx", "target_uri", "warc_epoch",
+        "content_length", "payload",
+    )}
+    with pytest.raises(ValueError, match="bad record marker"):
+        _parse_blob(1, b"GARBAGE\r\n", out)
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 99\r\n\r\nshort"
+    )
+    with pytest.raises(ValueError, match="truncated payload"):
+        _parse_blob(2, truncated, out)
