@@ -61,9 +61,13 @@ def main() -> None:
         docs_df(spark).write.mode("overwrite").parquet(path)
     docs = spark.read.parquet(path)
 
+    from ot_spark.webtext.crawldiff import (
+        CRAWL_EPOCH, DAY, crawl_delta, latest_snapshot, synthetic_revisions,
+    )
     from ot_spark.webtext.curate import corpus_clean, pack_bins, stratified_sample
     from ot_spark.webtext.dedup import with_minhash
     from ot_spark.webtext.textstats import with_repetition_full
+    from ot_spark.webtext.warc import parse_warc_records, synthetic_warc_blob
 
     def run(df):
         # count() lets Catalyst prune every computed column to nothing;
@@ -77,6 +81,24 @@ def main() -> None:
         "repetition_full": lambda: run(with_repetition_full(docs)),
         "pack_bins": lambda: run(pack_bins(docs)),
         "stratified_sample": lambda: run(stratified_sample(docs, 1000)),
+        # r6: crawl-log primitives at ~4M revision rows over 2M keys
+        "crawl_asof": lambda: run(
+            latest_snapshot(synthetic_revisions(docs), CRAWL_EPOCH + 6 * DAY)
+        ),
+        "crawl_delta": lambda: run(
+            crawl_delta(
+                synthetic_revisions(docs),
+                CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY,
+            )
+        ),
+        # r6: WARC framing walk over 2M blobs (~4M records)
+        "warc_parse": lambda: run(
+            parse_warc_records(
+                docs.select(
+                    "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
+                )
+            )
+        ),
     }
     out = {"n_docs": N_DOCS, "cpus": 32, "ops": {}}
     for name, fn in ops.items():
