@@ -643,6 +643,60 @@ SELECT node, rank FROM r{iters} ORDER BY rank DESC, node ASC LIMIT 20
     return "".join(parts)
 
 
+# Deterministic link-graph CTE shared by the crawl-frontier oracle — the
+# same variable-out-degree edge rule as graph.synthetic_edges (and the
+# pagerank oracle, which predates this fragment and inlines it).
+_EDGES_CTE_SQL = """
+nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*3+1) % nn.c AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id*7+2) % nn.c FROM documents, nn WHERE doc_id % 3 >= 1
+  UNION ALL
+  SELECT doc_id, (doc_id*13+3) % nn.c FROM documents, nn WHERE doc_id % 3 = 2
+)"""
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier BFS (round 6; ot_spark/graph.py::bfs_depth): minimum
+    link distance from the seed list (doc_id % 97 == 0) within 3 hops —
+    the breadth-limited frontier expansion every crawl scheduler runs.
+    Frontier-delta joins: round k shuffles only the nodes settled in
+    round k-1, never the whole node set.  Exactly integer (depths are
+    literals, reachability is set algebra), so the unrolled-CTE DuckDB
+    oracle matches bit-for-bit."""
+    from ot_spark.graph import bfs_depth, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_depth(edges, seeds, max_depth=3)
+
+
+def _crawl_frontier_oracle_sql(max_depth: int = 3) -> str:
+    parts = [
+        "WITH ", _EDGES_CTE_SQL, """,
+d0 AS (SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id % 97 = 0)""",
+    ]
+    union = ["SELECT node, depth FROM d0"]
+    for k in range(1, max_depth + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT node FROM d{j}" for j in range(k)
+        )
+        parts.append(f""",
+c{k} AS (SELECT DISTINCT e.dst AS node FROM e JOIN d{k - 1} ON e.src = d{k - 1}.node),
+d{k} AS (
+  SELECT node, {k} AS depth FROM c{k}
+  WHERE node NOT IN ({prev_union})
+)""")
+        union.append(f"SELECT node, depth FROM d{k}")
+    parts.append("\n" + "\nUNION ALL ".join(union))
+    return "".join(parts)
+
+
 def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION IVF+PQ (round-6): k=256 uint8 codebooks (kmeans++, 10
     Lloyd iters), replicas=2 multi-assignment posting lists, ADC scan over
@@ -2528,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_asof": q_crawl_asof,
         "crawl_delta": q_crawl_delta,
         "incremental_enrich": q_incremental_enrich,
+        "crawl_frontier": q_crawl_frontier,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3283,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,
         "incremental_enrich": _incremental_enrich_oracle_sql(),
+        "crawl_frontier": _crawl_frontier_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -91,3 +91,52 @@ def pagerank_fixed(
             )
         )
     return ranks
+
+
+def bfs_depth(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Crawl-frontier BFS: minimum link distance from a seed set.
+
+    This is the crawl scheduler's core question — "which pages are within
+    k hops of the seed list, and at what depth?" (the frontier expansion
+    every breadth-limited crawl performs).  The distributed shape is
+    FRONTIER-DELTA, not whole-relation: each round joins the edge list
+    against only the nodes settled in the PREVIOUS round, distincts the
+    candidate targets, and anti-joins the already-settled set — so round
+    k's shuffle is proportional to the frontier, not the graph.  That is
+    the property that keeps this viable at 10^12 edges (whole-graph
+    min-depth recomputation per round would be iters full shuffles of the
+    node set; the frontier form degenerates to that only on expander
+    graphs where the frontier IS the graph).  At production depth
+    (k ~ 10+) the settled set should be checkpointed every few rounds to
+    truncate lineage; at gate depth (3) the plan unrolls fine.
+
+    Exactly integer: depths are literals, reachability is set algebra —
+    no floats anywhere, so the DuckDB oracle (unrolled round CTEs with
+    NOT IN exclusions) matches bit-for-bit.
+
+    Returns (node, depth) for every node within ``max_depth`` hops, depth
+    = minimum hop count (seeds at 0).  Ties are impossible by
+    construction: a node enters exactly one round's frontier.
+    """
+    settled = seeds.select(
+        F.col("node"), F.lit(0).cast("int").alias("depth")
+    )
+    frontier = settled
+    for k in range(1, max_depth + 1):
+        cand = (
+            edges.join(frontier, edges["src"] == frontier["node"], "inner")
+            .select(F.col("dst"))
+            .distinct()
+        )
+        new = (
+            cand.join(settled, cand["dst"] == settled["node"], "left_anti")
+            .select(
+                F.col("dst").alias("node"),
+                F.lit(k).cast("int").alias("depth"),
+            )
+        )
+        settled = settled.unionByName(new)
+        frontier = new
+    return settled

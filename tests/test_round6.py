@@ -585,3 +585,31 @@ def test_warc_parser_raises_on_malformed(spark):
     )
     with pytest.raises(ValueError, match="truncated payload"):
         _parse_blob(2, truncated, out)
+
+
+def test_bfs_depth_min_distance_and_frontier_delta(spark):
+    """bfs_depth assigns the MINIMUM hop count and each node appears
+    exactly once, even when a shorter and a longer path both reach it.
+    Graph: 0->1->2->3->4 chain plus shortcut 0->3 and a cycle edge 4->0;
+    node 9 is disconnected."""
+    from ot_spark.graph import bfs_depth
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["depth"] for r in bfs_depth(edges, seeds, 3).collect()}
+    # 3 via the shortcut (depth 1), not via the chain (depth 3);
+    # 4 = shortcut+1; the cycle back to 0 must not re-settle 0.
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    rows = bfs_depth(edges, seeds, 3).collect()
+    assert len(rows) == len({r["node"] for r in rows})  # settled once
+
+
+def test_bfs_depth_zero_rounds_is_seeds(spark):
+    from ot_spark.graph import bfs_depth
+
+    edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (5,)], ["node"])
+    got = {(r["node"], r["depth"]) for r in bfs_depth(edges, seeds, 0).collect()}
+    assert got == {(0, 0), (5, 0)}
