@@ -431,6 +431,56 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(df)
 
 
+def q_hll_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-URL-per-host registers (round 6;
+    ot_spark/webtext/sketch.py): the crawl-frontier cardinality metric
+    without an exact count(distinct) shuffle — per (host, bucket) keep
+    max(rho), 16 small ints per host, map-side partial max, merge =
+    element-wise max.  Hash/bucket/rho are generated once as ANSI-SQL
+    fragments shared verbatim with the DuckDB oracle (pure integer —
+    no log2), so the registers match bit-for-bit; the float estimate
+    sits outside the gate, pinned by the error-bound pytest."""
+    from ot_spark.webtext.sketch import hll_registers
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org"),
+        ).alias("host"),
+        synthetic_url_col(F.col("doc_id")).alias("url"),
+    )
+    return hll_registers(urls, ["host"], "url")
+
+
+# The messy-URL template in SQL (same rule as urltools.synthetic_url_col
+# and the url_dedup oracle's raw CTE).
+_SYNTH_URL_SQL = """
+    (CASE WHEN doc_id % 9 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'Site' ELSE 'site' END)
+    || CAST(doc_id % 50 AS VARCHAR) || '.ORG'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ''
+             WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+             ELSE '?b=2&a=1' END)
+    || (CASE WHEN doc_id % 6 = 2 THEN '#frag' ELSE '' END)
+"""
+
+
+def _hll_urls_oracle_sql() -> str:
+    from ot_spark.webtext.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(
+        "documents",
+        "'site' || CAST(doc_id % 50 AS VARCHAR) || '.org'",
+        _SYNTH_URL_SQL,
+    )
+
+
 _URL_DEDUP_ORACLE_SQL = """
 WITH raw AS (
   SELECT doc_id,
@@ -2583,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "incremental_enrich": q_incremental_enrich,
         "crawl_frontier": q_crawl_frontier,
+        "hll_urls": q_hll_urls,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3339,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,
         "incremental_enrich": _incremental_enrich_oracle_sql(),
         "crawl_frontier": _crawl_frontier_oracle_sql(),
+        "hll_urls": _hll_urls_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -613,3 +613,71 @@ def test_bfs_depth_zero_rounds_is_seeds(spark):
     seeds = spark.createDataFrame([(0,), (5,)], ["node"])
     got = {(r["node"], r["depth"]) for r in bfs_depth(edges, seeds, 0).collect()}
     assert got == {(0, 0), (5, 0)}
+
+
+def test_hll_estimate_error_bound(spark):
+    """HLL estimate vs exact distinct over 40 keys x ~250 distinct items:
+    mean |relative error| well inside the published sigma = 1.04/sqrt(16)
+    = 26%, and no single key beyond ~3 sigma."""
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.sketch import hll_estimate, hll_registers
+
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 40).alias("k"),
+            F.concat(F.lit("item-"), (F.col("id") % 9973).cast("string"),
+                     F.lit("-"), (F.col("id") % 40).cast("string"))
+            .alias("item"),
+        )
+    )
+    regs = hll_registers(df, ["k"], "item")
+    est = {r["k"]: r["hll_estimate"]
+           for r in hll_estimate(regs, ["k"]).collect()}
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.countDistinct("item").alias("n")).collect()}
+    rel = [abs(est[k] - exact[k]) / exact[k] for k in exact]
+    assert sum(rel) / len(rel) < 0.30, (sum(rel) / len(rel), sorted(rel)[-3:])
+    assert max(rel) < 0.90, max(rel)
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinalities fall into the linear-counting branch and come
+    out near-exact."""
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(3)] + [("b", f"v{i}") for i in range(7)],
+        ["k", "item"],
+    )
+    regs = hll_registers(df, ["k"], "item")
+    est = {r["k"]: r["hll_estimate"]
+           for r in hll_estimate(regs, ["k"]).collect()}
+    assert abs(est["a"] - 3) <= 1.5, est
+    assert abs(est["b"] - 7) <= 3.0, est
+
+
+def test_hll_registers_merge_is_elementwise_max(spark):
+    """Sketch mergeability: registers(A union B) == element-wise max of
+    registers(A) and registers(B) — the property that makes the sketch
+    incremental across crawl snapshots."""
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.sketch import hll_registers
+
+    a = spark.range(0, 500).select(
+        F.lit("k").alias("k"), F.concat(F.lit("x"), F.col("id")).alias("item"))
+    b = spark.range(300, 900).select(
+        F.lit("k").alias("k"), F.concat(F.lit("x"), F.col("id")).alias("item"))
+    ra = {r["bucket"]: r["max_rho"]
+          for r in hll_registers(a, ["k"], "item").collect()}
+    rb = {r["bucket"]: r["max_rho"]
+          for r in hll_registers(b, ["k"], "item").collect()}
+    runion = {r["bucket"]: r["max_rho"]
+              for r in hll_registers(a.unionByName(b), ["k"], "item").collect()}
+    merged = {j: max(ra.get(j, 0), rb.get(j, 0))
+              for j in set(ra) | set(rb)}
+    assert merged == runion
