@@ -1143,6 +1143,73 @@ GROUP BY 1, 2
 """
 
 
+# Anchor-element page template. Slots: target-1 id, topic-1 id (d%7),
+# target-2 id, topic-2 id (d%5). Exercises: fragment-only and relative
+# anchors (no term rows), lowercase + uppercase-with-noise absolute
+# anchors, an entity in the anchor text, multi-word text.
+_ANCHOR_TMPL_PARTS = (
+    '<html><body><a href="#top">skip</a><a href="/rel/x">relskip</a>'
+    '<a href="https://site',
+    '.org/a">alpha topic',
+    ' coffee &amp; co</a><A CLASS="y" HREF="HTTPS://WWW.Site',
+    '.ORG/b?x=1">beta topic',
+    "</A></body></html>",
+)
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text top-k per target host (round 6;
+    htmltext.anchor_term_counts): raw html -> anchor (href, text) pairs
+    -> host canonicalization -> (host, term) counts -> per-host top-3 —
+    the classic web-graph relevance signal.  Map-only extraction; one
+    count exchange + a WindowGroupLimit top-k (partial rank before the
+    shuffle).  The DuckDB oracle re-derives every term row
+    ARITHMETICALLY from doc_id, independent of the regex pipeline."""
+    from ot_spark.webtext.htmltext import anchor_term_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _ANCHOR_TMPL_PARTS
+    page = F.concat(
+        F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
+        F.lit(p[1]), (F.col("doc_id") % 7).cast("string"),
+        F.lit(p[2]), ((F.col("doc_id") * 7 + 3) % 1000).cast("string"),
+        F.lit(p[3]), (F.col("doc_id") % 5).cast("string"),
+        F.lit(p[4]),
+    )
+    pages = docs.select(F.encode(page, "UTF-8").alias("html"))
+    return anchor_term_counts(pages, "html", k=3)
+
+
+# Arithmetic re-derivation: anchor 1 targets site{(3d+1)%1000}.org with
+# terms {alpha, topic{d%7}, coffee, co} (the &amp; decodes to '&', which
+# the alnum tokenizer drops); anchor 2 targets site{(7d+3)%1000}.org with
+# terms {beta, topic{d%5}}. Fragment/relative anchors contribute nothing.
+_ANCHOR_STATS_ORACLE_SQL = """
+WITH t1 AS (
+  SELECT 'site' || CAST((doc_id*3+1) % 1000 AS VARCHAR) || '.org' AS dst_host,
+         doc_id FROM documents
+), t2 AS (
+  SELECT 'site' || CAST((doc_id*7+3) % 1000 AS VARCHAR) || '.org' AS dst_host,
+         doc_id FROM documents
+), terms AS (
+  SELECT dst_host, 'alpha' AS term FROM t1
+  UNION ALL SELECT dst_host, 'topic' || CAST(doc_id % 7 AS VARCHAR) FROM t1
+  UNION ALL SELECT dst_host, 'coffee' FROM t1
+  UNION ALL SELECT dst_host, 'co' FROM t1
+  UNION ALL SELECT dst_host, 'beta' FROM t2
+  UNION ALL SELECT dst_host, 'topic' || CAST(doc_id % 5 AS VARCHAR) FROM t2
+), c AS (
+  SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+  FROM terms GROUP BY 1, 2
+)
+SELECT dst_host, term, n, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY dst_host ORDER BY n DESC, term ASC) AS INT) AS rank
+  FROM c
+) WHERE rank <= 3
+"""
+
+
 def q_crawl_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of crawl-snapshot selection (round 6; crawldiff.latest_snapshot):
     latest live revision of every page at a cutoff — the "which crawl
@@ -2634,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_enrich": q_incremental_enrich,
         "crawl_frontier": q_crawl_frontier,
         "hll_urls": q_hll_urls,
+        "anchor_stats": q_anchor_stats,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3391,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_enrich": _incremental_enrich_oracle_sql(),
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "hll_urls": _hll_urls_oracle_sql(),
+        "anchor_stats": _ANCHOR_STATS_ORACLE_SQL,
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

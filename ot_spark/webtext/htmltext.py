@@ -110,6 +110,67 @@ def with_links(
     return df.withColumn(out_col, extract_links(F.col(html_col)))
 
 
+# Full anchor elements: group 1 = href (same stop-at-fragment rule as
+# HREF_RE), group 2 = the inner text. Lazy body + (?is) — Java/RE2
+# portable, no lookaround.
+ANCHOR_RE = r'(?is)<a\b[^>]*\bhref\s*=\s*"([^"#]+)[^"]*"[^>]*>(.*?)</a\s*>'
+# Anchor-term tokenizer: lowercase alphanumeric runs.
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def extract_anchors(html: Column) -> Column:
+    """``array<struct<href,text>>`` of anchor elements in document order.
+
+    One decode, the SAME regex evaluated for the two capture groups
+    (regexp_extract_all takes one group index per call), zip_with pairs
+    them positionally — still a map-only codegen chain, no UDFs."""
+    s = F.decode(html.cast("binary"), "UTF-8")
+    hrefs = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(s, F.lit(ANCHOR_RE), F.lit(2))
+    return F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("text")),
+    )
+
+
+def anchor_term_counts(
+    df: DataFrame, html_col: str = "html", k: int = 3
+) -> DataFrame:
+    """Inbound anchor-text term ranking per TARGET host — the classic
+    web-graph relevance signal (what other pages call this host).
+
+    Shape at 10^12 docs: the anchor extraction and tokenization are
+    map-only; the only exchanges are the (dst_host, term) count
+    aggregation (map-side partial) and the per-host top-k, which Spark
+    plans as WindowGroupLimit — rank partially BEFORE the exchange, so
+    each map task forwards at most k rows per host, never the full term
+    tally.  Skewed mega-hosts therefore cost k rows each downstream.
+
+    Returns (dst_host, term, n, rank) with rank <= k; ties broken by
+    term so the output is deterministic for the value-hash oracle."""
+    from pyspark.sql import Window
+
+    from ot_spark.webtext.urltools import host_col
+
+    a = df.select(F.explode(extract_anchors(F.col(html_col))).alias("a"))
+    a = a.select(F.col("a.href").alias("href"), F.col("a.text").alias("text"))
+    a = a.where(F.lower(F.col("href")).startswith("http"))
+    txt = F.lower(F.col("text"))
+    for entity, ch in ENTITIES:
+        txt = F.replace(txt, F.lit(entity), F.lit(ch))
+    terms = a.select(
+        host_col(F.col("href")).alias("dst_host"),
+        F.explode(F.split(txt, TOKEN_SPLIT_RE)).alias("term"),
+    ).where(F.length("term") > 0)
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def oracle_extract_sql(page_expr: str) -> str:
     """DuckDB replay of extract_text over the SQL expression ``page_expr``.
 

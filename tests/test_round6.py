@@ -681,3 +681,52 @@ def test_hll_registers_merge_is_elementwise_max(spark):
     merged = {j: max(ra.get(j, 0), rb.get(j, 0))
               for j in set(ra) | set(rb)}
     assert merged == runion
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.htmltext import extract_anchors
+
+    html = (
+        '<a href="#f">frag</a><a href="/r">rel text</a>'
+        '<A HREF="HTTPS://X.org/a#frag" class="z">Up &amp; Down</A>'
+        '<a href="https://y.org/b"><b>bold</b></a>'
+    )
+    df = spark.createDataFrame([(html.encode(),)], ["html"])
+    rows = df.select(
+        F.explode(extract_anchors(F.col("html"))).alias("a")
+    ).select("a.href", "a.text").collect()
+    got = [(r["href"], r["text"]) for r in rows]
+    # fragment-only anchor never matches (href group needs a non-# char);
+    # the relative one is extracted (filtering is the caller's predicate)
+    assert got == [
+        ("/r", "rel text"),
+        ("HTTPS://X.org/a", "Up &amp; Down"),
+        ("https://y.org/b", "<b>bold</b>"),
+    ]
+
+
+def test_anchor_term_counts_topk_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.htmltext import anchor_term_counts
+
+    pages = [
+        '<a href="https://h.org/1">blue cat</a>',
+        '<a href="https://h.org/2">blue dog</a>',
+        '<a href="https://WWW.H.org/3">blue cat</a>',
+        '<a href="https://other.org/x">zebra</a>',
+    ]
+    df = spark.createDataFrame([(p.encode(),) for p in pages], ["html"])
+    out = anchor_term_counts(df, "html", k=2)
+    got = {(r["dst_host"], r["term"]): (r["n"], r["rank"])
+           for r in out.collect()}
+    # top-2 for h.org: blue (3), cat (2); dog is rank 3 -> cut
+    assert got == {
+        ("h.org", "blue"): (3, 1),
+        ("h.org", "cat"): (2, 2),
+        ("other.org", "zebra"): (1, 1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
