@@ -481,6 +481,82 @@ def _hll_urls_oracle_sql() -> str:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule URL filter (round 6; urltools.robots_filter): RFC 9309
+    longest-match semantics — per URL the longest matching prefix rule
+    among its host's rules wins, allow beats deny on equal length,
+    default allow.  Rules are a host-bounded dimension table (AQE decides
+    the join); winner pick is one partial-aggregable max-struct exchange.
+    The synthetic rule set (derived from doc_id < 50, one family per
+    host) exercises deny, longer-allow-override and no-rule hosts; the
+    oracle re-derives host/path arithmetically, independent of the URL
+    parser it checks."""
+    from ot_spark.webtext.urltools import robots_filter, synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        "doc_id", synthetic_url_col(F.col("doc_id")).alias("url")
+    )
+    host = F.concat(
+        F.lit("site"), F.col("doc_id").cast("string"), F.lit(".org")
+    )
+    base = docs.where(F.col("doc_id") < 50)
+    rules = (
+        base.where(F.col("doc_id") % 2 == 0)
+        .select(host.alias("host"), F.lit("/p/1").alias("prefix"),
+                F.lit(False).alias("is_allow"))
+        .unionByName(
+            base.where(F.col("doc_id") % 4 == 0).select(
+                host.alias("host"),
+                F.concat(F.lit("/p/1"),
+                         (F.col("doc_id") % 10).cast("string")).alias("prefix"),
+                F.lit(True).alias("is_allow"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0).select(
+                host.alias("host"), F.lit("/p/7").alias("prefix"),
+                F.lit(False).alias("is_allow"),
+            )
+        )
+    )
+    return robots_filter(urls, rules)
+
+
+_ROBOTS_FILTER_ORACLE_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS host,
+         '/p/' || CAST(doc_id % 200 AS VARCHAR)
+           || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END) AS path,
+         {{url}} AS url
+  FROM documents
+), rules AS (
+  SELECT 'site' || CAST(doc_id AS VARCHAR) || '.org' AS host,
+         '/p/1' AS prefix, FALSE AS is_allow
+  FROM documents WHERE doc_id < 50 AND doc_id % 2 = 0
+  UNION ALL
+  SELECT 'site' || CAST(doc_id AS VARCHAR) || '.org',
+         '/p/1' || CAST(doc_id % 10 AS VARCHAR), TRUE
+  FROM documents WHERE doc_id < 50 AND doc_id % 4 = 0
+  UNION ALL
+  SELECT 'site' || CAST(doc_id AS VARCHAR) || '.org', '/p/7', FALSE
+  FROM documents WHERE doc_id < 50 AND doc_id % 5 = 0
+), m AS (
+  SELECT u.doc_id, r.prefix, r.is_allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.is_allow DESC, r.prefix DESC
+         ) AS rk
+  FROM u JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+), w AS (SELECT doc_id, prefix, is_allow FROM m WHERE rk = 1)
+SELECT u.doc_id, u.url,
+       coalesce(w.is_allow, TRUE) AS allowed,
+       w.prefix AS rule_prefix
+FROM u LEFT JOIN w ON u.doc_id = w.doc_id
+""".replace("{url}", _SYNTH_URL_SQL)
+
+
 _URL_DEDUP_ORACLE_SQL = """
 WITH raw AS (
   SELECT doc_id,
@@ -2702,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "hll_urls": q_hll_urls,
         "anchor_stats": q_anchor_stats,
+        "robots_filter": q_robots_filter,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3460,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "hll_urls": _hll_urls_oracle_sql(),
         "anchor_stats": _ANCHOR_STATS_ORACLE_SQL,
+        "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -133,3 +133,57 @@ def host_col(url: Column) -> Column:
         .otherwise(hostport)
     )
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def path_col(url: Column) -> Column:
+    """Raw path component — between the authority and the first ``?``/``#``
+    — UNCANONICALIZED (robots matching is defined on the raw path)."""
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+
+
+def robots_filter(
+    urls: DataFrame, rules: DataFrame, id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion-protocol URL filtering (RFC 9309 semantics): per
+    URL, the LONGEST matching path prefix among the host's rules wins;
+    allow beats deny on equal length; no matching rule means allowed.
+    This is the gate every fetch passes before it enters the frontier.
+
+    ``rules``: (host, prefix, is_allow) — a per-host dimension table
+    (bounded by hosts, not documents); the match join is an equi-join on
+    host plus the prefix predicate, so AQE broadcasts it when small and
+    falls back to a shuffled hash join when a 100 TB crawl's rule set is
+    host-partitioned — deliberately NOT a pinned broadcast hint.
+
+    Winner selection is ONE partial-aggregable exchange: max over the
+    struct (prefix_len, is_allow, prefix) per URL — no window sort — then
+    a same-key join back to attach the default-allow rows.
+    """
+    u = urls.select(
+        F.col(id_col), F.col(url_col),
+        host_col(F.col(url_col)).alias("__host"),
+        path_col(F.col(url_col)).alias("__path"),
+    )
+    m = u.join(
+        rules,
+        (F.col("__host") == rules["host"])
+        & F.col("__path").startswith(rules["prefix"]),
+        "inner",
+    )
+    win = m.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("is_allow").alias("a"),
+                F.col("prefix").alias("p"),
+            )
+        ).alias("__w")
+    )
+    return u.join(win, id_col, "left").select(
+        id_col, url_col,
+        F.coalesce(F.col("__w.a"), F.lit(True)).alias("allowed"),
+        F.col("__w.p").alias("rule_prefix"),
+    )

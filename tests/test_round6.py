@@ -730,3 +730,38 @@ def test_anchor_term_counts_topk_and_plan(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_robots_filter_longest_match_allow_wins(spark):
+    """RFC 9309 tie/precedence semantics: longest prefix wins; allow
+    beats deny at equal length; no rule -> allowed."""
+    from ot_spark.webtext.urltools import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.org/p/10"),    # deny /p/1 vs allow /p/10 -> allow
+            (2, "https://a.org/p/15"),    # deny /p/1 only -> denied
+            (3, "https://a.org/q"),       # no matching rule -> allowed
+            (4, "https://b.org/x/1"),     # equal-length allow+deny -> allow
+            (5, "https://c.org/p/1"),     # host with no rules -> allowed
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.org", "/p/1", False),
+            ("a.org", "/p/10", True),
+            ("b.org", "/x/", False),
+            ("b.org", "/x/", True),
+        ],
+        ["host", "prefix", "is_allow"],
+    )
+    got = {r["doc_id"]: (r["allowed"], r["rule_prefix"])
+           for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        1: (True, "/p/10"),
+        2: (False, "/p/1"),
+        3: (True, None),
+        4: (True, "/x/"),
+        5: (True, None),
+    }
