@@ -823,6 +823,109 @@ d{k} AS (
     return "".join(parts)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the deterministic link graph (round 6;
+    ot_spark/graph.py::hits_fixed): integer scores with per-round
+    max-normalization (x * scale DIV max) so the two fixed points are
+    exactly order-independent; top-20 authorities against a bit-equal
+    unrolled-CTE oracle.  Per round: two join+groupBy pairs plus two
+    one-row max broadcasts — the published algorithm's shuffle floor."""
+    from ot_spark.graph import hits_fixed, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    out = hits_fixed(
+        edges, docs.select(F.col("doc_id").alias("node")), iters=2
+    )
+    return out.orderBy(
+        F.desc("authority"), F.desc("hub"), F.asc("node")
+    ).limit(20)
+
+
+def _hits_oracle_sql(iters: int = 2, scale: int = 10**6) -> str:
+    parts = ["WITH ", _EDGES_CTE_SQL, f""",
+nodes AS (SELECT doc_id AS node FROM documents),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS (
+  SELECT e.dst AS node, CAST(sum(h{k - 1}.hub) AS BIGINT) AS a
+  FROM e JOIN h{k - 1} ON e.src = h{k - 1}.node GROUP BY e.dst
+),
+a{k} AS (
+  SELECT n.node,
+         CAST(coalesce(ar{k}.a, 0) * {scale}
+              // (SELECT greatest(max(a), 1) FROM ar{k}) AS BIGINT) AS authority
+  FROM nodes n LEFT JOIN ar{k} ON n.node = ar{k}.node
+),
+hr{k} AS (
+  SELECT e.src AS node, CAST(sum(a{k}.authority) AS BIGINT) AS h
+  FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src
+),
+h{k} AS (
+  SELECT n.node,
+         CAST(coalesce(hr{k}.h, 0) * {scale}
+              // (SELECT greatest(max(h), 1) FROM hr{k}) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN hr{k} ON n.node = hr{k}.node
+)""")
+    parts.append(f"""
+SELECT a{iters}.node, authority, hub
+FROM a{iters} JOIN h{iters} ON a{iters}.node = h{iters}.node
+ORDER BY authority DESC, hub DESC, a{iters}.node ASC LIMIT 20
+""")
+    return "".join(parts)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the deterministic link graph (round
+    6; ot_spark/graph.py::triangles): degree-ordered wedge closing — the
+    Suri-Vassilvitskii shape that bounds the mega-host fan-out — with
+    top-20 nodes checked against a DuckDB oracle that re-derives the
+    canonicalization, orientation, and wedge join in SQL.  Pure set
+    algebra on BIGINTs: bit-exact across engines."""
+    from ot_spark.graph import synthetic_edges, triangles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = triangles(synthetic_edges(docs, n))
+    return out.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
+
+
+def _triangles_oracle_sql() -> str:
+    return "".join(["WITH ", _EDGES_CTE_SQL, """,
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM o e1 JOIN o e2 ON e1.v = e2.u
+  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
+ORDER BY n_triangles DESC, node ASC LIMIT 20
+"""])
+
+
 def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION IVF+PQ (round-6): k=256 uint8 codebooks (kmeans++, 10
     Lloyd iters), replicas=2 multi-assignment posting lists, ADC scan over
@@ -2779,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_urls": q_hll_urls,
         "anchor_stats": q_anchor_stats,
         "robots_filter": q_robots_filter,
+        "hits": q_hits,
+        "triangles": q_triangles,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3538,6 +3643,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_urls": _hll_urls_oracle_sql(),
         "anchor_stats": _ANCHOR_STATS_ORACLE_SQL,
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
+        "hits": _hits_oracle_sql(),
+        "triangles": _triangles_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

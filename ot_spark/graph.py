@@ -140,3 +140,133 @@ def bfs_depth(
         settled = settled.unionByName(new)
         frontier = new
     return settled
+
+
+def hits_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    scale: int = 10**6,
+    node_col: str = "node",
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999, public): hubs point at good
+    authorities, authorities are pointed at by good hubs, with per-round
+    max-normalization.
+
+    Integer throughout, like pagerank_fixed: scores are BIGINTs in
+    ``scale`` units and normalization is ``x * scale DIV max`` — exactly
+    order-independent, so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit.  Exactness bound: the normalization product needs
+    max_in_degree * scale^2 < 2^63 (9.2e6 in-links at the default 1e6
+    scale); a bigger graph lowers ``scale`` or widens that one product to
+    DECIMAL(38,0) — nothing else changes.
+
+    Shuffle shape per round: two (join + groupBy) pairs — edges x hubs
+    summed per dst, then edges x authorities summed per src — plus two
+    single-row max aggregates that broadcast back (BroadcastNestedLoop
+    over one row; never a full-relation exchange).  Same O(iters)
+    pattern as pagerank/connected-components at 10^12 edges.
+
+    Returns (node, authority, hub) after ``iters`` full rounds.
+    """
+    def _norm(df: DataFrame, c: str) -> DataFrame:
+        mx = df.agg(
+            F.greatest(F.max(c), F.lit(1)).cast("long").alias("__mx")
+        )
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"{c} * {scale} DIV __mx").alias(c)
+        )
+
+    n = nodes.select(F.col(node_col).alias("node"))
+    hubs = n.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            edges.join(hubs, edges["src"] == hubs["node"], "inner")
+            .groupBy("dst").agg(F.sum("hub").alias("authority"))
+        )
+        auth = _norm(
+            n.join(araw, n["node"] == araw["dst"], "left").select(
+                "node",
+                F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+            ),
+            "authority",
+        )
+        hraw = (
+            edges.join(auth, edges["dst"] == auth["node"], "inner")
+            .groupBy("src").agg(F.sum("authority").alias("hub"))
+        )
+        hubs = _norm(
+            n.join(hraw, n["node"] == hraw["src"], "left").select(
+                "node", F.coalesce("hub", F.lit(0)).cast("long").alias("hub")
+            ),
+            "hub",
+        )
+    return auth.join(hubs, "node").select("node", "authority", "hub")
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORDERED wedge closing (Suri &
+    Vassilvitskii 2011, "Counting triangles and the curse of the last
+    reducer"; public).  The host-level web graph is exactly the skewed
+    case that paper targets: a few mega-hosts with 10^6+ neighbours.
+
+    Edges are canonicalized to undirected distinct pairs, then ORIENTED
+    from the (degree, id)-smaller endpoint to the larger.  Every triangle
+    x<y<z in that total order appears exactly once as the wedge x->y,
+    x->z closed by y->z, so counting is join(o, o) on the wedge apex plus
+    one semi-join against the closing edge.  The orientation is the whole
+    point at scale: out-degree under it is O(sqrt(m)) even on power-law
+    graphs, so the wedge join's per-key fan-out — the "last reducer" that
+    kills the naive neighbour-pairs join on a mega-host — is bounded.
+    Three shuffles total (degree agg, wedge join, closing semi-join);
+    AQE's skew splitting handles what the sqrt(m) bound leaves.
+
+    Returns (node, n_triangles) for every node in >= 1 triangle.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    # a < b always, so the degree tie-break (a first) is a total order
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    wedge = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    tri = wedge.join(
+        o.alias("e3"),
+        (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
