@@ -481,6 +481,106 @@ def _hll_urls_oracle_sql() -> str:
     )
 
 
+_BLOOM_HOST_SQL = "'site' || CAST(doc_id % 50 AS VARCHAR) || '.org'"
+
+
+def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Bloom registers over the crawl's URLs (round 6;
+    ot_spark/webtext/sketch.py Bloom section): 8 x 32-bit words per host,
+    one map-side-combinable bit_or exchange — the incremental
+    "seen-URL" filter a crawl frontier keeps instead of semi-joining
+    every new batch against the full URL history.  Hash positions and
+    word contributions are generated once as ANSI-SQL fragments shared
+    verbatim with the DuckDB oracle, so registers match bit-for-bit."""
+    from ot_spark.webtext.sketch import bloom_build
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org"),
+        ).alias("host"),
+        synthetic_url_col(F.col("doc_id")).alias("url"),
+    )
+    return bloom_build(urls, ["host"], "url")
+
+
+def _bloom_build_oracle_sql() -> str:
+    from ot_spark.webtext.sketch import bloom_oracle_sql
+
+    return bloom_oracle_sql("documents", _BLOOM_HOST_SQL, _SYNTH_URL_SQL)
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the per-host Bloom registers with a half-present / half-
+    absent URL batch (even doc_ids probe their true URL, odd ones a
+    perturbed sibling) and count possibly-present verdicts per host.
+    The probe is one host-keyed dimension join (32 bytes/host — AQE
+    broadcasts it) plus integer Column algebra; Bloom guarantees every
+    present probe counts, so n_maybe >= the even-doc count per host,
+    with the excess = false positives.  Verdicts, not just registers,
+    are compared bit-for-bit against the DuckDB replay."""
+    from ot_spark.webtext.sketch import bloom_build, bloom_probe
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
+    )
+    url = synthetic_url_col(F.col("doc_id"))
+    blooms = bloom_build(
+        docs.select(host.alias("host"), url.alias("url")), ["host"], "url"
+    )
+    probes = docs.select(
+        host.alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, url)
+        .otherwise(F.concat(url, F.lit("/absent"))).alias("url"),
+    )
+    out = bloom_probe(probes, blooms, ["host"], "url")
+    return out.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+        .cast("long").alias("n_maybe"),
+    )
+
+
+def _bloom_probe_oracle_sql() -> str:
+    from ot_spark.webtext.sketch import (
+        BLOOM_HASHES, BLOOM_WORDS, bloom_oracle_sql, bloom_pos_sql,
+        bloom_word_sql,
+    )
+
+    build = bloom_oracle_sql("documents", _BLOOM_HOST_SQL, _SYNTH_URL_SQL)
+    probe_item = (
+        f"(CASE WHEN doc_id % 2 = 0 THEN {_SYNTH_URL_SQL}"
+        f" ELSE {_SYNTH_URL_SQL} || '/absent' END)"
+    )
+    pos = ", ".join(
+        f"{bloom_pos_sql('h', i)} AS p{i}" for i in range(BLOOM_HASHES)
+    )
+    pcols = [f"p{i}" for i in range(BLOOM_HASHES)]
+    words = ", ".join(
+        f"{bloom_word_sql(w, pcols)} AS b{w}" for w in range(BLOOM_WORDS)
+    )
+    cond = " AND ".join(
+        f"(coalesce(bl.w{w}, 0) & pw.b{w}) = pw.b{w}"
+        for w in range(BLOOM_WORDS)
+    )
+    return f"""
+WITH blooms AS ({build}),
+pr AS (SELECT {_BLOOM_HOST_SQL} AS host, {probe_item} AS __item FROM documents),
+ph AS (SELECT host, md5(__item) AS h FROM pr),
+pp AS (SELECT host, {pos} FROM ph),
+pw AS (SELECT host, {words} FROM pp)
+SELECT pw.host AS host,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+FROM pw LEFT JOIN blooms bl ON pw.host = bl.host
+GROUP BY pw.host
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-rule URL filter (round 6; urltools.robots_filter): RFC 9309
     longest-match semantics — per URL the longest matching prefix rule
@@ -2884,6 +2984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "hits": q_hits,
         "triangles": q_triangles,
+        "bloom_build": q_bloom_build,
+        "bloom_probe": q_bloom_probe,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3645,6 +3747,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "hits": _hits_oracle_sql(),
         "triangles": _triangles_oracle_sql(),
+        "bloom_build": _bloom_build_oracle_sql(),
+        "bloom_probe": _bloom_probe_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -141,3 +141,152 @@ def hll_estimate(
 def hll_error_bound(b: int = 4, sigmas: float = 3.0) -> float:
     """Published standard error 1.04/sqrt(m), scaled."""
     return sigmas * 1.04 / math.sqrt(2 ** b)
+
+
+# --------------------------------------------------------------- Bloom
+# Bloom filter (Bloom 1970, public) over the same portable-md5 Column
+# algebra as the HLL above — "have we crawled this URL before?" without
+# shuffling URL strings.
+#
+# WHY at 10^12 documents: the exact form of that question is a semi-join
+# of the new crawl batch against the full URL history — a full-width
+# exchange of every URL string on both sides.  The Bloom form keeps 32
+# bytes per host (8 x 32-bit words), built with ONE map-side-combinable
+# bit_or aggregate; probing is a host-keyed dimension join plus pure
+# integer Column algebra, and filters are INCREMENTAL — the register
+# merge across crawl snapshots is element-wise bit_or, so history never
+# gets re-read.  (Spark's runtime bloom-filter rewrite does this
+# transiently inside one query; explicit registers persist across jobs
+# and snapshots, which is what a crawl frontier needs.)  False-positive
+# rate with k=4 hashes and fill ratio f is f^4; no false negatives ever.
+#
+# DETERMINISM / ORACLE DESIGN: same md5 trick as HLL — the 32-hex digest
+# yields four independent 32-bit slices (digits 1-8, 9-16, 17-24,
+# 25-32); position = slice % 256, word = position range-test, bit =
+# 2^(position - 32*word) via an integer CASE chain.  Every fragment is
+# generated ONCE below in ANSI SQL valid verbatim in Spark and DuckDB
+# (instr/substr/%/&/| — no shifts, no floats), so registers AND probe
+# verdicts compare bit-for-bit in the gate.
+
+BLOOM_BITS = 256
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_HASHES = 4
+
+
+def bloom_pos_sql(hex_col: str, i: int) -> str:
+    """Bit position (0..255) of hash ``i``: positional value of hex
+    digits 8i+1 .. 8i+8, mod BLOOM_BITS.  Valid in both engines."""
+    terms = [
+        f"CAST(instr('{HEX}', substr({hex_col}, {1 + 8 * i + j}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "((" + " + ".join(terms) + f") % {BLOOM_BITS})"
+
+
+def pow2_sql(bit_expr: str) -> str:
+    """2^bit for bit in 0..31 as an integer CASE chain (0 outside the
+    range — that is what scopes a position to its word).  ``bit_expr``
+    is referenced 32 times: pass a BOUND COLUMN (or column minus a
+    literal), never an inline computation."""
+    whens = "".join(
+        f" WHEN {bit_expr} = {b} THEN {2 ** b}" for b in range(BLOOM_WORD_BITS)
+    )
+    return f"(CASE{whens} ELSE 0 END)"
+
+
+def bloom_word_sql(w: int, pos_cols: list[str]) -> str:
+    """Row-level contribution to word ``w``: OR of each hash's power-of-
+    two when its position falls in [32w, 32w+32) — out-of-range positions
+    contribute 0 through the CASE's ELSE."""
+    return (
+        "("
+        + " | ".join(
+            pow2_sql(f"({p} - {w * BLOOM_WORD_BITS})") for p in pos_cols
+        )
+        + ")"
+    )
+
+
+def with_bloom_words(df: DataFrame, item_col: str) -> DataFrame:
+    """Append the row's 8 word contributions __bw0..__bw7.  The digest
+    and the 4 positions are materialized as bound columns in separate
+    selects — each position feeds 8 x 32 CASE arms, and Catalyst would
+    re-evaluate an inlined positional sum per arm."""
+    d = df.withColumn("__bf_h", F.expr(f"md5({item_col})"))
+    d = d.select(
+        "*",
+        *[
+            F.expr(bloom_pos_sql("__bf_h", i)).alias(f"__bp{i}")
+            for i in range(BLOOM_HASHES)
+        ],
+    )
+    pos = [f"__bp{i}" for i in range(BLOOM_HASHES)]
+    d = d.select(
+        "*",
+        *[
+            F.expr(bloom_word_sql(w, pos)).cast("long").alias(f"__bw{w}")
+            for w in range(BLOOM_WORDS)
+        ],
+    )
+    return d.drop("__bf_h", *pos)
+
+
+def bloom_build(df: DataFrame, keys: list[str], item_col: str) -> DataFrame:
+    """Per-key Bloom registers (keys..., w0..w7): one exchange on the
+    keys with map-side partial bit_or.  Registers for different corpus
+    slices / crawl snapshots merge by element-wise bit_or of the same
+    columns (pytest-pinned)."""
+    d = with_bloom_words(df, item_col)
+    return d.groupBy(*keys).agg(
+        *[
+            F.expr(f"bit_or(__bw{w})").cast("long").alias(f"w{w}")
+            for w in range(BLOOM_WORDS)
+        ]
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, blooms: DataFrame, keys: list[str], item_col: str
+) -> DataFrame:
+    """Append ``maybe`` (bool): true iff every hash's bit is set in the
+    key's registers — possibly-present, with the Bloom guarantee of NO
+    false negatives.  Missing keys (no filter built) probe as false.
+    One dimension join on the keys (AQE broadcasts the register table
+    when it is small — 32 bytes/key); the verdict itself is pure integer
+    Column algebra."""
+    d = with_bloom_words(probes, item_col)  # reuse: __bw = needed bits
+    joined = d.join(blooms, on=keys, how="left")
+    cond = None
+    for w in range(BLOOM_WORDS):
+        ok = F.expr(
+            f"(coalesce(w{w}, 0) & __bw{w}) = __bw{w}"
+        )
+        cond = ok if cond is None else (cond & ok)
+    return joined.withColumn("maybe", cond).drop(
+        *[f"__bw{w}" for w in range(BLOOM_WORDS)]
+    )
+
+
+def bloom_oracle_sql(
+    source_sql: str, key_sql: str, item_sql: str, key_name: str = "host"
+) -> str:
+    """DuckDB replay of bloom_build from the SAME fragment generators."""
+    pos = ", ".join(
+        f"{bloom_pos_sql('h', i)} AS p{i}" for i in range(BLOOM_HASHES)
+    )
+    pcols = [f"p{i}" for i in range(BLOOM_HASHES)]
+    words = ", ".join(
+        f"{bloom_word_sql(w, pcols)} AS b{w}" for w in range(BLOOM_WORDS)
+    )
+    aggs = ", ".join(
+        f"CAST(bit_or(b{w}) AS BIGINT) AS w{w}" for w in range(BLOOM_WORDS)
+    )
+    return f"""
+WITH __raw AS (SELECT {key_sql} AS {key_name}, {item_sql} AS __item FROM {source_sql}),
+__h AS (SELECT {key_name}, md5(__item) AS h FROM __raw),
+__p AS (SELECT {key_name}, {pos} FROM __h),
+__w AS (SELECT {key_name}, {words} FROM __p)
+SELECT {key_name}, {aggs} FROM __w GROUP BY {key_name}
+"""

@@ -837,3 +837,78 @@ def test_triangles_orientation_is_low_degree_first(spark):
     got = {r["node"]: r["n_triangles"] for r in triangles(edges).collect()}
     # triangles: (0,1,2),(0,2,3),(0,3,4),(0,1,4)
     assert got == {0: 4, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """Bloom guarantee: every inserted URL probes possibly-present; at
+    sf0.001 fill (~10 URLs x 4 hashes over 256 bits per host) the
+    false-positive rate on absent probes is expected ~f^4 < 0.1% —
+    assert a slack 2% bound to stay host-noise-proof."""
+    from ot_spark.webtext.sketch import bloom_build, bloom_probe
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
+    )
+    urls = docs.select(
+        host.alias("host"), synthetic_url_col(F.col("doc_id")).alias("url")
+    )
+    blooms = bloom_build(urls, ["host"], "url")
+    present = bloom_probe(urls, blooms, ["host"], "url")
+    assert present.where(~F.col("maybe")).count() == 0  # no false negatives
+    absent = urls.withColumn("url", F.concat(F.col("url"), F.lit("/nope")))
+    fp = bloom_probe(absent, blooms, ["host"], "url")
+    n = fp.count()
+    assert fp.where(F.col("maybe")).count() <= max(1, int(0.02 * n))
+
+
+def test_bloom_merge_is_elementwise_bit_or(spark):
+    """Registers built on two disjoint corpus halves OR together into
+    exactly the registers built on the union — the property that makes
+    the filter incremental across crawl snapshots."""
+    from ot_spark.webtext.sketch import BLOOM_WORDS, bloom_build
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
+    )
+    urls = docs.select(
+        "doc_id", host.alias("host"),
+        synthetic_url_col(F.col("doc_id")).alias("url"),
+    )
+    full = bloom_build(urls, ["host"], "url")
+    # split so BOTH halves cover every host (host = doc_id % 50; a
+    # doc_id-parity split would give each half only half the hosts)
+    a = bloom_build(urls.where("doc_id % 100 < 50"), ["host"], "url")
+    b = bloom_build(urls.where("doc_id % 100 >= 50"), ["host"], "url")
+    merged = a.alias("a").join(b.alias("b"), "host").select(
+        "host",
+        *[
+            F.expr(f"a.w{w} | b.w{w}").alias(f"w{w}")
+            for w in range(BLOOM_WORDS)
+        ],
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_bloom_probe_unknown_key_is_false(spark):
+    """A probe whose key has no filter at all must come back maybe=False
+    (coalesce-to-empty-register path), not null or true."""
+    from ot_spark.webtext.sketch import bloom_build, bloom_probe
+
+    data = spark.createDataFrame(
+        [("h1", "u1"), ("h1", "u2")], ["host", "url"]
+    )
+    blooms = bloom_build(data, ["host"], "url")
+    probes = spark.createDataFrame(
+        [("h1", "u1"), ("h9", "u1")], ["host", "url"]
+    )
+    got = {
+        (r["host"], r["url"]): r["maybe"]
+        for r in bloom_probe(probes, blooms, ["host"], "url").collect()
+    }
+    assert got[("h1", "u1")] is True
+    assert got[("h9", "u1")] is False
