@@ -1654,6 +1654,32 @@ SELECT source, term, tf, df, tfidf, rnk FROM (
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (round 6; ot_spark/webtext/invindex.py):
+    term -> (df, tf, first-10 posting list), two exchanges, posting cap
+    applied BEFORE the collect so per-term aggregate state is bounded.
+    The full 31-term index gates against a DuckDB replay including the
+    posting arrays element-for-element."""
+    from ot_spark.webtext.invindex import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, posting_cap=10)
+
+
+def _inverted_index_oracle_sql(cap: int = 10) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+pd AS (SELECT term, doc_id, count(*) AS c FROM e GROUP BY 1, 2),
+r AS (SELECT term, doc_id, c,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pd)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf,
+       list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= {cap}) AS postings
+FROM r GROUP BY term
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -2986,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
+        "inverted_index": q_inverted_index,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3749,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_oracle_sql(),
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
+        "inverted_index": _inverted_index_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

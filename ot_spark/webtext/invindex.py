@@ -1,0 +1,56 @@
+"""Inverted-index construction: term -> (df, tf, capped posting list).
+
+The classic web-corpus index build (the canonical MapReduce example;
+Dean & Ghemawat 2004, public): tokenize, emit (term, doc) postings,
+aggregate per term.  Distributed shape — TWO exchanges total:
+
+1. explode tokens -> groupBy(term, doc) with map-side partial count
+   (the per-document term frequency), so the first shuffle carries one
+   row per distinct (term, doc), not one per token occurrence;
+2. window rank + groupBy on ``term`` — Spark reuses the term hash
+   partitioning between the window and the aggregate, so ranking and
+   the final rollup share one exchange (plan-pinned).
+
+POSTING CAP AT BUILD, not after: the gate keeps the first
+``posting_cap`` doc ids per term, and the cap is applied via
+row_number BEFORE the collect_list (collect_list skips the nulls the
+``when`` produces), so aggregate state per term is bounded — a
+mega-term ("the") never materializes its full posting list in one
+task.  df/tf still aggregate over ALL postings.  A production index
+sink would instead range-partition by term and spill full postings per
+shard; the capped form is the register-style gate twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import TOKENS_COL, with_tokens
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    posting_cap: int = 10,
+) -> DataFrame:
+    """(term, df, tf, postings): document frequency, total term
+    frequency, and the first ``posting_cap`` doc ids ascending."""
+    t = with_tokens(docs.select(id_col, text_col), text_col)
+    per_doc = (
+        t.select(F.col(id_col).alias("doc"), F.explode(TOKENS_COL).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc"))
+    ranked = per_doc.withColumn("rn", rn)
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("rn") <= posting_cap, F.col("doc"))
+            )
+        ).alias("postings"),
+    )

@@ -912,3 +912,44 @@ def test_bloom_probe_unknown_key_is_false(spark):
     }
     assert got[("h1", "u1")] is True
     assert got[("h9", "u1")] is False
+
+
+def test_inverted_index_tiny_corpus(spark):
+    """Hand-checked index: df counts distinct docs, tf counts all
+    occurrences, postings are ascending doc ids capped at posting_cap."""
+    from ot_spark.webtext.invindex import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple apple pear"),
+            (1, "apple banana"),
+            (2, "pear"),
+            (4, "apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["term"]: (r["df"], r["tf"], r["postings"])
+        for r in inverted_index(docs, posting_cap=2).collect()
+    }
+    assert got == {
+        "apple": (3, 4, [1, 3]),   # capped at 2 of 3 docs, ascending
+        "banana": (1, 1, [1]),
+        "pear": (2, 2, [2, 3]),
+    }
+
+
+def test_inverted_index_two_exchanges(spark):
+    """Plan guard: the build shuffles exactly twice — (term, doc) partial
+    count, then term — with the window rank and the final aggregate
+    sharing the second exchange (no third shuffle between them)."""
+    from ot_spark.webtext.invindex import inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(inverted_index(docs))
+    n_ex = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+        and "Reused" not in line
+    )
+    assert n_ex == 2, plan
