@@ -1680,6 +1680,43 @@ FROM r GROUP BY term
 """
 
 
+def q_host_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-host page-length percentiles (round 6;
+    textstats.exact_percentiles): median/p90/p99 of text length per host
+    via value-histogram + cumulative window — the exchange carries one
+    row per distinct (host, length), not one per page.  Type-1
+    percentile semantics in pure integer math; the DuckDB oracle replays
+    the same histogram algebra bit-for-bit."""
+    from ot_spark.webtext.textstats import exact_percentiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = docs.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org"),
+        ).alias("host"),
+        F.length("text").cast("long").alias("len"),
+    )
+    return exact_percentiles(v, ["host"], "len", [50, 90, 99])
+
+
+def _host_percentiles_oracle_sql() -> str:
+    return f"""
+WITH v AS (SELECT {_BLOOM_HOST_SQL} AS host,
+                  CAST(length(text) AS BIGINT) AS len FROM documents),
+h AS (SELECT host, len, count(*) AS c FROM v GROUP BY 1, 2),
+cw AS (SELECT host, len,
+              sum(c) OVER (PARTITION BY host ORDER BY len) AS cum,
+              sum(c) OVER (PARTITION BY host) AS n
+       FROM h)
+SELECT host, CAST(max(n) AS BIGINT) AS n,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN len END) AS p50,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN len END) AS p90,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN len END) AS p99
+FROM cw GROUP BY host
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -3013,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
+        "host_percentiles": q_host_percentiles,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3777,6 +3815,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
+        "host_percentiles": _host_percentiles_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -303,3 +303,52 @@ def with_repetition_full(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("keep_repetition_full", keep)
         .drop(TOKENS_COL, "__ntok", *stat_cols)
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    percentiles: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-key percentiles of a discrete metric via value-histogram
+    + cumulative window — the corpus-health panel (median/p90/p99 page
+    length per host) without sorting raw rows.
+
+    The naive exact form windows over every row per key (a full sort of
+    the corpus); the approximate form (approx_percentile / t-digest)
+    gives up exactness.  For DISCRETE metrics — lengths, token counts,
+    status codes — there is an exact middle path: groupBy(key, value)
+    with map-side partial counts collapses the exchange to one row per
+    distinct (key, value) pair (bounded by the value domain, not the
+    corpus), then a cumulative-sum window over each key's small histogram
+    reads off any percentile.  Two exchanges, the second over histogram
+    rows only.  Heavy-tailed CONTINUOUS metrics should keep using a
+    sketch; this is the exact twin for the discrete case.
+
+    Percentile semantics: type-1 / percentile_disc — the smallest value
+    whose cumulative count reaches ceil(p/100 * n).  Pure integer
+    (ceil(a/b) = (a + b - 1) DIV b), so the DuckDB oracle replaying the
+    same algebra matches bit-for-bit.
+
+    Returns one row per key: (keys..., n, p{p}...).
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wk = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wk).alias("__n"),
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in percentiles:
+        # rank k = ceil(p/100 * n), computed in integers
+        k = F.expr(f"(__n * {p} + 99) DIV 100")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k, F.col("__v"))).alias(f"p{p}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

@@ -953,3 +953,47 @@ def test_inverted_index_two_exchanges(spark):
         and "Reused" not in line
     )
     assert n_ex == 2, plan
+
+
+def test_exact_percentiles_type1_semantics(spark):
+    """Hand-checked type-1 percentiles (smallest value whose cumulative
+    count reaches ceil(p/100*n)), including duplicate-heavy histograms
+    and an n=1 key."""
+    from ot_spark.webtext.textstats import exact_percentiles
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+    rows += [("b", v) for v in [5, 5, 5, 5, 100]]  # dup-heavy, skewed tail
+    rows += [("c", 42)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: (r["n"], r["p50"], r["p90"], r["p99"])
+        for r in exact_percentiles(df, ["k"], "v", [50, 90, 99]).collect()
+    }
+    # a: ceil(.5*10)=5 -> 5; ceil(.9*10)=9 -> 9; ceil(.99*10)=10 -> 10
+    # b: ceil(.5*5)=3 -> 5;  ceil(.9*5)=5 -> 100; ceil(.99*5)=5 -> 100
+    assert got == {
+        "a": (10, 5, 9, 10),
+        "b": (5, 5, 100, 100),
+        "c": (1, 42, 42, 42),
+    }
+
+
+def test_exact_percentiles_shuffles_histogram_not_rows(spark):
+    """Plan guard: the first exchange hash-partitions on (key, value) —
+    the histogram collapse with map-side partial_count — so the window
+    never sees raw rows; and the whole job has exactly two exchanges."""
+    from ot_spark.webtext.textstats import exact_percentiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = docs.select(
+        (F.col("doc_id") % 50).alias("host"),
+        F.length("text").cast("long").alias("len"),
+    )
+    plan = _formatted_plan(exact_percentiles(v, ["host"], "len"))
+    ex_lines = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+        and "Reused" not in line
+    ]
+    assert len(ex_lines) == 2, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
