@@ -1717,6 +1717,70 @@ FROM cw GROUP BY host
 """
 
 
+def q_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the crawl's URLs (round 6;
+    sketch.py CMS section): 4 x 64 counters built by one map-side-
+    combinable sum exchange — approximate per-URL frequencies without
+    shuffling URL strings; registers merge across corpus slices by
+    element-wise addition.  Counter values are integer sums (exactly
+    order-independent), compared bit-for-bit against the DuckDB replay
+    built from the same md5-slice fragments."""
+    from ot_spark.webtext.sketch import cms_build
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(synthetic_url_col(F.col("doc_id")).alias("url"))
+    return cms_build(urls, "url")
+
+
+def _cms_build_oracle_sql() -> str:
+    from ot_spark.webtext.sketch import cms_oracle_sql
+
+    return cms_oracle_sql("documents", _SYNTH_URL_SQL)
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates (min over the 4 probed counters) for every
+    distinct URL — the overcount-only frequency read-back.  d broadcast
+    joins against the 256-row register table; estimates gate bit-for-bit
+    against the DuckDB replay (same registers, same min)."""
+    from ot_spark.webtext.sketch import cms_build, cms_estimate
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(synthetic_url_col(F.col("doc_id")).alias("url"))
+    sketch = cms_build(urls, "url")
+    probes = urls.distinct()
+    return cms_estimate(probes, sketch, "url").select("url", "est")
+
+
+def _cms_estimate_oracle_sql() -> str:
+    from ot_spark.webtext.sketch import (
+        CMS_DEPTH, cms_oracle_sql, cms_pos_sql,
+    )
+
+    build = cms_oracle_sql("documents", _SYNTH_URL_SQL)
+    pos = ", ".join(
+        f"{cms_pos_sql('h', i)} AS p{i}" for i in range(CMS_DEPTH)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN sketch s{i} ON s{i}.row = {i} AND s{i}.pos = pp.p{i}"
+        for i in range(CMS_DEPTH)
+    )
+    least = ", ".join(
+        f"coalesce(s{i}.cnt, 0)" for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH sketch AS ({build}),
+probes AS (SELECT DISTINCT {_SYNTH_URL_SQL} AS url FROM documents),
+ph AS (SELECT url, md5(url) AS h FROM probes),
+pp AS (SELECT url, {pos} FROM ph)
+SELECT pp.url AS url, CAST(least({least}) AS BIGINT) AS est
+FROM pp
+{joins}
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -3051,6 +3115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
         "host_percentiles": q_host_percentiles,
+        "cms_build": q_cms_build,
+        "cms_estimate": q_cms_estimate,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3816,6 +3882,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
         "host_percentiles": _host_percentiles_oracle_sql(),
+        "cms_build": _cms_build_oracle_sql(),
+        "cms_estimate": _cms_estimate_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

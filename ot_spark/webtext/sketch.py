@@ -290,3 +290,112 @@ __p AS (SELECT {key_name}, {pos} FROM __h),
 __w AS (SELECT {key_name}, {words} FROM __p)
 SELECT {key_name}, {aggs} FROM __w GROUP BY {key_name}
 """
+
+
+# ------------------------------------------------------------ Count-Min
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public): approximate
+# per-item frequencies — "roughly how often does each URL / term / query
+# appear?" — in d x w counters instead of a full-width groupBy on the
+# item itself.
+#
+# WHY at 10^12 documents: exact per-URL counts shuffle every URL string;
+# the CMS register table is d*w BIGINTs per key-scope, built by ONE
+# map-side-combinable sum exchange (counters are sums, so partial
+# aggregation applies), and sketches for different corpus slices merge
+# by element-wise ADDITION — the same incrementality story as the HLL /
+# Bloom registers above.  Point estimate = min over the d rows; the
+# published guarantee is overcount-only, within eps*N with probability
+# 1-delta for w = ceil(e/eps), d = ceil(ln 1/delta).
+#
+# DETERMINISM: counters are integer SUMS of row contributions, so they
+# are exactly order-independent; hash positions come from the same four
+# independent md5 slices as the Bloom filter (row i uses slice i), mod
+# the sketch width.  Registers AND probe estimates gate bit-for-bit
+# against the DuckDB replay built from the same fragment generators.
+
+CMS_DEPTH = 4       # d: one md5 slice per row
+CMS_WIDTH = 64      # w: counters per row
+
+
+def cms_pos_sql(hex_col: str, i: int) -> str:
+    """Counter index (0..w-1) for sketch row ``i``: the i-th 32-bit md5
+    slice mod CMS_WIDTH.  Valid verbatim in Spark SQL and DuckDB."""
+    terms = [
+        f"CAST(instr('{HEX}', substr({hex_col}, {1 + 8 * i + j}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - j)}"
+        for j in range(8)
+    ]
+    return "((" + " + ".join(terms) + f") % {CMS_WIDTH})"
+
+
+def cms_build(df: DataFrame, item_col: str, weight_sql: str = "1") -> DataFrame:
+    """Sketch registers (row, pos, cnt): one exchange on (row, pos) —
+    d*w = 256 tiny groups — with map-side partial sums.  ``weight_sql``
+    lets a pre-aggregated (item, count) input feed the sketch."""
+    d = df.withColumn("__cm_h", F.expr(f"md5({item_col})"))
+    d = d.select(
+        "*",
+        *[
+            F.expr(cms_pos_sql("__cm_h", i)).alias(f"__cp{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+    # ONE posexplode instead of d unioned selects: the source is scanned
+    # once, and the map-side partial sum still collapses each task's
+    # output to <= d*w register rows before the exchange
+    rows = d.select(
+        F.posexplode(
+            F.array(*[F.col(f"__cp{i}") for i in range(CMS_DEPTH)])
+        ).alias("row", "pos"),
+        F.expr(weight_sql).cast("long").alias("__w"),
+    )
+    return rows.select(
+        F.col("row").cast("int"), F.col("pos").cast("int"), "__w"
+    ).groupBy("row", "pos").agg(F.sum("__w").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame, sketch: DataFrame, item_col: str
+) -> DataFrame:
+    """Append ``est`` = min over the d rows of the probed counters — the
+    classic CMS point estimate (never an undercount).  d tiny joins
+    against a 256-row register table (broadcast), then a least() across
+    the d looked-up counters; items the sketch never saw estimate 0 via
+    the coalesce."""
+    d = probes.withColumn("__cm_h", F.expr(f"md5({item_col})"))
+    d = d.select(
+        "*",
+        *[
+            F.expr(cms_pos_sql("__cm_h", i)).alias(f"__cp{i}")
+            for i in range(CMS_DEPTH)
+        ],
+    )
+    for i in range(CMS_DEPTH):
+        reg = sketch.where(F.col("row") == i).select(
+            F.col("pos").alias(f"__cp{i}"), F.col("cnt").alias(f"__ce{i}")
+        )
+        d = d.join(F.broadcast(reg), f"__cp{i}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"__ce{i}"), F.lit(0)) for i in range(CMS_DEPTH)]
+    )
+    return d.withColumn("est", est.cast("long")).drop(
+        "__cm_h",
+        *[f"__cp{i}" for i in range(CMS_DEPTH)],
+        *[f"__ce{i}" for i in range(CMS_DEPTH)],
+    )
+
+
+def cms_oracle_sql(source_sql: str, item_sql: str) -> str:
+    """DuckDB replay of cms_build from the same fragment generators."""
+    rows = "\nUNION ALL ".join(
+        f"SELECT {i} AS row, {cms_pos_sql('h', i)} AS pos, 1 AS w FROM __h"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH __raw AS (SELECT {item_sql} AS __item FROM {source_sql}),
+__h AS (SELECT md5(__item) AS h FROM __raw),
+__r AS ({rows})
+SELECT CAST(row AS INT) AS row, CAST(pos AS INT) AS pos,
+       CAST(sum(w) AS BIGINT) AS cnt
+FROM __r GROUP BY row, pos
+"""

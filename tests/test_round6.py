@@ -997,3 +997,60 @@ def test_exact_percentiles_shuffles_histogram_not_rows(spark):
     ]
     assert len(ex_lines) == 2, plan
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_cms_never_undercounts_and_total_preserved(spark):
+    """CMS guarantees: every point estimate >= the true count (overcount
+    only), and each sketch row's counters sum to exactly the total item
+    count (counters are plain sums)."""
+    from ot_spark.webtext.sketch import CMS_DEPTH, cms_build, cms_estimate
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = docs.select(synthetic_url_col(F.col("doc_id")).alias("url"))
+    n = urls.count()
+    sketch = cms_build(urls, "url")
+    sums = {r["row"]: r["s"] for r in sketch.groupBy("row").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert sums == {i: n for i in range(CMS_DEPTH)}
+    truth = urls.groupBy("url").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(truth, sketch, "url")
+    assert est.where(F.col("est") < F.col("true_cnt")).count() == 0
+    # at LOW fill (12 items in 64 counters) most estimates are exact —
+    # the sf0.001 sketch above is deliberately saturated (453 items),
+    # where exactness is not expected, only the overcount bound
+    small = spark.createDataFrame(
+        [(f"item{i % 12}",) for i in range(60)], ["url"]
+    )
+    ssk = cms_build(small, "url")
+    struth = small.groupBy("url").agg(F.count(F.lit(1)).alias("true_cnt"))
+    sest = cms_estimate(struth, ssk, "url")
+    assert sest.where(F.col("est") < F.col("true_cnt")).count() == 0
+    assert sest.where(F.col("est") == F.col("true_cnt")).count() >= 8
+
+
+def test_cms_merge_is_elementwise_addition(spark):
+    """Sketches of two disjoint corpus halves added counter-by-counter
+    equal the sketch of the union — the incremental-crawl property."""
+    from ot_spark.webtext.sketch import cms_build
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = docs.select(
+        "doc_id", synthetic_url_col(F.col("doc_id")).alias("url")
+    )
+    full = cms_build(urls, "url")
+    a = cms_build(urls.where("doc_id % 2 = 0"), "url")
+    b = cms_build(urls.where("doc_id % 2 = 1"), "url")
+    merged = (
+        a.select("row", "pos", F.col("cnt").alias("ca"))
+        .join(b.select("row", "pos", F.col("cnt").alias("cb")),
+              ["row", "pos"], "outer")
+        .select(
+            "row", "pos",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0)))
+            .cast("long").alias("cnt"),
+        )
+    )
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
