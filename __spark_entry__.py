@@ -1781,6 +1781,39 @@ FROM pp
 """
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-collocation PMI (round 6; invindex.pmi_pairs): document-level
+    co-occurrence via a doc_id-co-partitioned self-join of per-doc
+    distinct terms, unigram dfs broadcast onto both legs.  Top-100 pairs
+    by count with a total-order tie-break; PMI rounded to 6 dp, counts
+    exact BIGINTs."""
+    from ot_spark.webtext.invindex import pmi_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pmi_pairs(docs, min_pair_count=2)
+    return out.orderBy(
+        F.desc("n_xy"), F.asc("x"), F.asc("y")
+    ).limit(100)
+
+
+def _pmi_pairs_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+e AS (SELECT DISTINCT doc_id AS doc, unnest(toks) AS term FROM t),
+p AS (
+  SELECT a.term AS x, b.term AS y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM e a JOIN e b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT x, y, n_xy, dx.df AS df_x, dy.df AS df_y,
+       round(ln(n.n * n_xy / (dx.df * dy.df)), 6) AS pmi
+FROM p JOIN d dx ON p.x = dx.term JOIN d dy ON p.y = dy.term CROSS JOIN n
+ORDER BY n_xy DESC, x ASC, y ASC LIMIT 100
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -3117,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_percentiles": q_host_percentiles,
         "cms_build": q_cms_build,
         "cms_estimate": q_cms_estimate,
+        "pmi_pairs": q_pmi_pairs,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3884,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "host_percentiles": _host_percentiles_oracle_sql(),
         "cms_build": _cms_build_oracle_sql(),
         "cms_estimate": _cms_estimate_oracle_sql(),
+        "pmi_pairs": _pmi_pairs_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -54,3 +54,58 @@ def inverted_index(
             )
         ).alias("postings"),
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information over within-document term
+    co-occurrence (Church & Hanks 1990, public) — the corpus-linguistics
+    collocation panel: PMI(x,y) = ln(N * df_xy / (df_x * df_y)) over
+    document frequencies.
+
+    Distributed shape: per-document DISTINCT terms (map-side
+    array_distinct — presence, not frequency), pairs by a SELF-JOIN ON
+    the document id with x < y, so the join is co-partitioned on one
+    key and never cartesian; then one groupBy per pair and a broadcast
+    of the unigram df table (vocabulary-sized) onto both legs.  At web
+    scale the vocabulary leg is restricted to a broadcast top-V
+    frequent-term list first (the tfidf operator's pattern) — pair
+    cardinality is then V-bounded per document regardless of corpus
+    size.
+
+    PMI is the one float in the output, rounded to 6 dp for the
+    cross-engine gate (counts are BIGINTs).
+    """
+    t = with_tokens(docs.select(id_col, text_col), text_col)
+    terms = t.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.col(TOKENS_COL))).alias("term"),
+    )
+    a = terms.select("doc", F.col("term").alias("x"))
+    b = terms.select("doc", F.col("term").alias("y"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .where(F.col("n_xy") >= min_pair_count)
+    )
+    df_t = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.count()
+    out = (
+        pairs.join(
+            F.broadcast(df_t.select(F.col("term").alias("x"),
+                                    F.col("df").alias("df_x"))), "x")
+        .join(
+            F.broadcast(df_t.select(F.col("term").alias("y"),
+                                    F.col("df").alias("df_y"))), "y")
+    )
+    pmi = F.round(
+        F.log(F.lit(float(n)) * F.col("n_xy")
+              / (F.col("df_x") * F.col("df_y"))), 6
+    )
+    return out.select("x", "y", "n_xy", "df_x", "df_y", pmi.alias("pmi"))

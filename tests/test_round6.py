@@ -1054,3 +1054,44 @@ def test_cms_merge_is_elementwise_addition(spark):
     )
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_pmi_pairs_hand_corpus(spark):
+    """Hand-checked PMI: a pair that always co-occurs scores ln(N*df_xy
+    /(df_x*df_y)) > 0; a pair that never does is absent; duplicate
+    occurrences inside one document count once (presence, not tf)."""
+    import math
+
+    from ot_spark.webtext.invindex import pmi_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),   # beta twice -> still one presence
+            (2, "alpha beta"),
+            (3, "alpha gamma"),
+            (4, "delta delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["x"], r["y"]): (r["n_xy"], r["df_x"], r["df_y"], r["pmi"])
+        for r in pmi_pairs(docs, min_pair_count=1).collect()
+    }
+    # alpha-beta co-occur in 2 of 4 docs; df_alpha=3, df_beta=2
+    n_xy, df_x, df_y, pmi = got[("alpha", "beta")]
+    assert (n_xy, df_x, df_y) == (2, 3, 2)
+    assert pmi == round(math.log(4 * 2 / (3 * 2)), 6)
+    assert ("alpha", "delta") not in got        # never co-occur
+    assert ("beta", "beta") not in got          # x < y strictness
+    assert got[("alpha", "gamma")][0] == 1
+
+
+def test_pmi_join_is_copartitioned_not_cartesian(spark):
+    """Plan guard: the pair self-join keys on the document id (no
+    cartesian product) and both unigram-df legs broadcast."""
+    from ot_spark.webtext.invindex import pmi_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted_plan(pmi_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
