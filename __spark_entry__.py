@@ -1814,6 +1814,61 @@ ORDER BY n_xy DESC, x ASC, y ASC LIMIT 100
 """
 
 
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) rollup (round 6;
+    urltools.registrable_domain_col): hosts with multi-label public
+    suffixes, PSL private-section entries (github.io) and unknown TLDs
+    collapse to their owner domain via longest-suffix match — pure
+    map-side Column algebra, then one groupBy(domain) exchange.  The
+    oracle runs the SAME generated CASE chain ([.]-escaped regex, no
+    backslash-escape drift) over hosts re-derived arithmetically."""
+    from ot_spark.webtext.urltools import registrable_domain_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    host = F.concat(
+        F.when(d % 6 == 1, F.lit("a.b."))
+        .when(d % 3 == 0, F.lit("sub."))
+        .otherwise(F.lit("")),
+        F.lit("s"), (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit(".co.uk"))
+        .when(d % 5 == 1, F.lit(".github.io"))
+        .when(d % 5 == 2, F.lit(".com"))
+        .when(d % 5 == 3, F.lit(".org.au"))
+        .otherwise(F.lit(".weird")),
+    )
+    hosts = docs.select(host.alias("host"))
+    return (
+        hosts.select(
+            "host", registrable_domain_col(F.col("host")).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+    )
+
+
+def _domain_rollup_oracle_sql() -> str:
+    from ot_spark.webtext.urltools import registrable_domain_sql
+
+    return f"""
+WITH h AS (
+  SELECT (CASE WHEN doc_id % 6 = 1 THEN 'a.b.'
+               WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+      || 's' || CAST(doc_id % 7 AS VARCHAR)
+      || (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.github.io'
+               WHEN 2 THEN '.com' WHEN 3 THEN '.org.au'
+               ELSE '.weird' END) AS host
+  FROM documents)
+SELECT {registrable_domain_sql('host')} AS domain,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM h GROUP BY 1
+"""
+
+
 def _raster_index():
     from ot_spark.raster import RasterIndex
     from ot_spark.synth import gen_raster_tiles
@@ -3151,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_build": q_cms_build,
         "cms_estimate": q_cms_estimate,
         "pmi_pairs": q_pmi_pairs,
+        "domain_rollup": q_domain_rollup,
         "topn_per_group": q_topn_per_group,
         "rollup_revenue": q_rollup_revenue,
         "sessionize": q_sessionize,
@@ -3919,6 +3975,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_build": _cms_build_oracle_sql(),
         "cms_estimate": _cms_estimate_oracle_sql(),
         "pmi_pairs": _pmi_pairs_oracle_sql(),
+        "domain_rollup": _domain_rollup_oracle_sql(),
         "topn_per_group": _TOPN_ORACLE_SQL,
         "rollup_revenue": _ROLLUP_ORACLE_SQL,
         "h3_tiles": _h3x_tiles_oracle_sql(),

@@ -187,3 +187,70 @@ def robots_filter(
         F.coalesce(F.col("__w.a"), F.lit(True)).alias("allowed"),
         F.col("__w.p").alias("rule_prefix"),
     )
+
+
+# Mini public-suffix list (the real PSL — publicsuffix.org, public data —
+# is ~10k entries; this ships the common shapes and is parameterizable).
+# github.io / blogspot.com are PSL "private section" entries, included
+# because host rollups that merge all *.github.io into one owner are
+# exactly the mistake the private section exists to prevent.
+PUBLIC_SUFFIXES: list[str] = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "net.br",
+    "github.io", "blogspot.com",
+    "com", "org", "net", "edu", "gov", "io", "uk", "au", "jp", "br",
+]
+
+
+def _suffixes_ordered(suffixes: list[str] | None) -> list[str]:
+    # longest match = most labels first (a 2-label suffix beats its
+    # 1-label tail, e.g. blogspot.com before com)
+    return sorted(suffixes or PUBLIC_SUFFIXES,
+                  key=lambda s: (-s.count("."), s))
+
+
+def registrable_domain_col(
+    host: Column, suffixes: list[str] | None = None
+) -> Column:
+    """Registrable domain (eTLD+1): one label + the LONGEST matching
+    public suffix — a.b.github.io -> b.github.io, x.y.co.uk -> y.co.uk.
+
+    Semantics deltas vs strict PSL, documented: a host that IS a bare
+    suffix falls through to the default rule (strict PSL says
+    undefined/null); unknown TLDs use the PSL ``*`` default — the last
+    two labels.  Pure Column algebra (endswith + regexp_extract with
+    [.]-escaped patterns so the same pattern strings replay in DuckDB
+    without backslash-escape drift); a map-side transform, no shuffle.
+    """
+    expr = None
+    for s in _suffixes_ordered(suffixes):
+        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
+        cond = host.endswith("." + s)
+        val = F.regexp_extract(host, pat, 1)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    two = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+    return expr.otherwise(F.when(two != "", two).otherwise(host))
+
+
+def registrable_domain_sql(
+    host_sql: str, suffixes: list[str] | None = None
+) -> str:
+    """The SAME longest-match CASE chain as ANSI SQL (DuckDB-ready),
+    generated from the same ordered suffix list so the two engines can
+    never drift."""
+    whens = []
+    for s in _suffixes_ordered(suffixes):
+        pat = "([^.]+[.]" + s.replace(".", "[.]") + ")$"
+        whens.append(
+            f"WHEN {host_sql} LIKE '%.{s}' "
+            f"THEN regexp_extract({host_sql}, '{pat}', 1)"
+        )
+    body = "\n    ".join(whens)
+    return (
+        f"(CASE {body}\n    ELSE (CASE WHEN "
+        f"regexp_extract({host_sql}, '([^.]+[.][^.]+)$', 1) <> '' "
+        f"THEN regexp_extract({host_sql}, '([^.]+[.][^.]+)$', 1) "
+        f"ELSE {host_sql} END) END)"
+    )

@@ -1095,3 +1095,29 @@ def test_pmi_join_is_copartitioned_not_cartesian(spark):
     plan = _formatted_plan(pmi_pairs(docs))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_registrable_domain_cases(spark):
+    """Hand-written eTLD+1 cases: multi-label suffixes beat their
+    single-label tails, private-section entries (github.io) win over
+    io, unknown TLDs fall back to the last two labels, bare labels pass
+    through."""
+    from ot_spark.webtext.urltools import registrable_domain_col
+
+    cases = [
+        ("x.y.co.uk", "y.co.uk"),          # co.uk beats uk
+        ("deep.a.b.github.io", "b.github.io"),  # private section beats io
+        ("pages.github.io", "pages.github.io"),
+        ("sub.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("blog.site.blogspot.com", "site.blogspot.com"),
+        ("a.b.weirdtld", "b.weirdtld"),    # unknown TLD -> last two labels
+        ("localhost", "localhost"),        # single label passes through
+        ("s1.io", "s1.io"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r["d"] for r in df.select(
+            registrable_domain_col(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in cases], list(zip(got, cases))
