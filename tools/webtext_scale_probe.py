@@ -100,7 +100,46 @@ def main() -> None:
             )
         ),
     }
+
+    # r6b additions: sketches, index build, corpus stats, graph ops
+    from ot_spark.graph import hits_fixed, synthetic_edges, triangles
+    from ot_spark.webtext.invindex import inverted_index, pmi_pairs
+    from ot_spark.webtext.sketch import bloom_build, cms_build
+    from ot_spark.webtext.textstats import exact_percentiles
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    lens = docs.select("source", F.length("text").cast("long").alias("len"))
+    ops.update({
+        "bloom_build": lambda: run(bloom_build(docs, ["source"], "text")),
+        "cms_build": lambda: run(cms_build(docs, "text")),
+        "inverted_index": lambda: run(inverted_index(docs)),
+        "host_percentiles": lambda: run(
+            exact_percentiles(lens, ["source"], "len")
+        ),
+        # pair generation is CPU-bound map-side (vocab-bounded, 780
+        # distinct pairs); the exchange carries only the partial aggs
+        "pmi_pairs": lambda: run(pmi_pairs(docs, min_pair_count=2)),
+        # link-graph ops over 2M nodes / ~4M deterministic edges
+        "triangles": lambda: run(triangles(synthetic_edges(docs, N_DOCS))),
+        "hits_2iter": lambda: run(
+            hits_fixed(synthetic_edges(docs, N_DOCS), nodes, iters=2)
+        ),
+    })
+
+    only = os.environ.get("SPARK_GRAFT_WEBTEXT_OPS")
+    if only:
+        keep = {k.strip() for k in only.split(",")}
+        ops = {k: v for k, v in ops.items() if k in keep}
+
+    out_path = os.path.join(REPO, "BENCH", "WEBTEXT_SCALE.json")
     out = {"n_docs": N_DOCS, "cpus": 32, "ops": {}}
+    if os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path))
+            if prev.get("n_docs") == N_DOCS:
+                out["ops"].update(prev.get("ops", {}))
+        except Exception:
+            pass
     for name, fn in ops.items():
         times = []
         for _ in range(2):
