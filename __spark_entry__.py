@@ -1026,6 +1026,91 @@ ORDER BY n_triangles DESC, node ASC LIMIT 20
 """])
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (round 6; ot_spark/graph.py::
+    label_prop): host-community labels after 3 deterministic rounds —
+    highest-neighbour-count label, ties to the smallest.  Per round one
+    co-partitioned join plus two partial-aggregable groupBys (count,
+    then max-struct argmax — no window, no per-node sort).  Pure
+    integer, so the unrolled-CTE oracle matches bit-for-bit."""
+    from ot_spark.graph import label_prop, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    return label_prop(
+        edges, docs.select(F.col("doc_id").alias("node")), iters=3
+    )
+
+
+def _label_prop_oracle_sql(iters: int = 3) -> str:
+    parts = ["WITH ", _EDGES_CTE_SQL, """,
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS label FROM documents)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT n.v, l.label, count(*) AS c
+  FROM nbr n JOIN l{k - 1} l ON n.u = l.node GROUP BY n.v, l.label
+),
+w{k} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT p.node, CAST(coalesce(w{k}.label, p.label) AS BIGINT) AS label
+  FROM l{k - 1} p LEFT JOIN w{k} ON p.node = w{k}.v
+)""")
+    parts.append(f"""
+SELECT node, label FROM l{iters}
+""")
+    return "".join(parts)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (round 6; ot_spark/graph.py::kcore): survivors of
+    3 remove-degree-<-3 rounds over the undirected link graph, with the
+    degree as of the last peel.  One degree agg + two semi-joins per
+    round; the edge set only shrinks.  Pure set algebra on BIGINTs —
+    the unrolled-CTE oracle is bit-exact."""
+    from ot_spark.graph import kcore, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    return kcore(synthetic_edges(docs, n), k=3, rounds=3)
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    parts = ["WITH ", _EDGES_CTE_SQL, """,
+u0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE src <> dst
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM u{r - 1} UNION ALL SELECT b FROM u{r - 1}
+  ) GROUP BY node
+),
+a{r} AS (SELECT node FROM d{r} WHERE degree >= {k}),
+u{r} AS (
+  SELECT u.a, u.b FROM u{r - 1} u
+  WHERE u.a IN (SELECT node FROM a{r}) AND u.b IN (SELECT node FROM a{r})
+)""")
+    parts.append(f"""
+SELECT node, degree FROM d{rounds} WHERE degree >= {k}
+""")
+    return "".join(parts)
+
+
 def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION IVF+PQ (round-6): k=256 uint8 codebooks (kmeans++, 10
     Lloyd iters), replicas=2 multi-assignment posting lists, ADC scan over
@@ -3199,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "hits": q_hits,
         "triangles": q_triangles,
+        "label_prop": q_label_prop,
+        "kcore": q_kcore,
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
@@ -3968,6 +4055,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _ROBOTS_FILTER_ORACLE_SQL,
         "hits": _hits_oracle_sql(),
         "triangles": _triangles_oracle_sql(),
+        "label_prop": _label_prop_oracle_sql(),
+        "kcore": _kcore_oracle_sql(),
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),

@@ -205,6 +205,102 @@ def hits_fixed(
     return auth.join(hubs, "node").select("node", "authority", "hub")
 
 
+def label_prop(
+    edges: DataFrame, nodes: DataFrame, iters: int = 3, node_col: str = "node"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public) —
+    host-community detection over the link graph, the standard first cut
+    at grouping mirror farms / site families before dedup.
+
+    Deterministic by construction, unlike the textbook's random sweep:
+    updates are SYNCHRONOUS (round k+1 reads only round k's labels) and
+    the per-node winner is the neighbour label with the HIGHEST count,
+    ties broken by SMALLEST label — a total order, so the unrolled-CTE
+    DuckDB oracle matches bit-for-bit.  Isolated nodes keep their label.
+
+    Distributed shape per round: one join (neighbour list x labels,
+    co-partitioned on the label-holder key), one groupBy(node, label)
+    count with map-side partial aggregation, then the argmax as a
+    SECOND partial-aggregable max-struct groupBy(node) — never a
+    window, so there is no per-node sort and the second exchange
+    carries one row per distinct (node, label), already collapsed.
+    Same O(iters)-shuffle budget as pagerank_fixed at 10^12 edges;
+    production runs add an ``observe()`` fixpoint check per round the
+    way the connected-components operator does (webtext/dedup.py).
+
+    Returns (node, label) after ``iters`` rounds.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    nbr = und.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).cast("long").alias("label")
+    )
+    for _ in range(iters):
+        cnt = (
+            nbr.join(labels, nbr["u"] == labels["node"], "inner")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax(count desc, label asc) as max(struct(c, -label)):
+        # struct comparison is lexicographic, so the larger count wins
+        # and on ties the larger -label (= smaller label) wins
+        win = cnt.groupBy("v").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select(F.col("v"), (-F.col("m.nl")).cast("long").alias("__w"))
+        labels = (
+            labels.join(win, labels["node"] == win["v"], "left")
+            .select("node", F.coalesce("__w", "label").alias("label"))
+        )
+    return labels
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-core peeling (Seidman 1983, public): iteratively remove nodes
+    with undirected degree < k; what survives is (an over-approximation
+    of, after ``rounds`` rounds) the k-core — the densely-linked heart
+    of the host graph, the part worth crawling deeply.
+
+    Pure set algebra on BIGINTs, bit-exact across engines.  Fixed
+    ``rounds`` for the gate so the DuckDB oracle unrolls the peel as
+    CTEs; a production run loops to the fixpoint with an ``observe()``
+    count of removed nodes per round (the connected-components pattern)
+    — each round is one degree aggregation plus two semi-joins, and the
+    edge set only shrinks, so round cost is monotone non-increasing.
+
+    Returns (node, degree) for survivors, degree as of the last peel.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        alive = deg.where(F.col("degree") >= k).select("node")
+        e = e.join(
+            alive, e["a"] == alive["node"], "left_semi"
+        ).join(alive, e["b"] == alive["node"], "left_semi")
+    return deg.where(F.col("degree") >= k)
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts via DEGREE-ORDERED wedge closing (Suri &
     Vassilvitskii 2011, "Counting triangles and the curse of the last

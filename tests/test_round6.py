@@ -1121,3 +1121,80 @@ def test_registrable_domain_cases(spark):
             registrable_domain_col(F.col("host")).alias("d")).collect()
     ]
     assert got == [want for _, want in cases], list(zip(got, cases))
+
+
+def test_label_prop_python_replay(spark):
+    """Synchronous deterministic label propagation matches a pure-python
+    replay of the spec (highest neighbour-label count, ties to the
+    smallest label, isolated nodes keep theirs) on the full sf0.001
+    node set — any order-dependence in the max-struct argmax or a
+    stale/fresh label mixup (async vs sync) would surface here."""
+    from ot_spark.graph import label_prop, synthetic_edges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    got = {
+        r["node"]: r["label"]
+        for r in label_prop(
+            synthetic_edges(docs, n),
+            docs.select(F.col("doc_id").alias("node")),
+            iters=3,
+        ).collect()
+    }
+    # undirected, deduped neighbour sets from the same edge rule
+    nbrs: dict = {i: set() for i in range(n)}
+    for i in range(n):
+        for t in [(3 * i + 1) % n, (7 * i + 2) % n, (13 * i + 3) % n][: 1 + i % 3]:
+            if t != i:
+                nbrs[i].add(t)
+                nbrs[t].add(i)
+    lab = {i: i for i in range(n)}
+    for _ in range(3):
+        new = {}
+        for v in range(n):
+            if not nbrs[v]:
+                new[v] = lab[v]
+                continue
+            cnt: dict = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    assert got == lab
+    # non-degenerate: labels actually coalesced into fewer communities
+    assert len(set(lab.values())) < n
+
+
+def test_kcore_hand_graph(spark):
+    """k-core peel on a hand graph: K4 on {0,1,2,3} plus a path 3-4-5
+    and a pendant 0-6.  With k=3 the first round strips 4,5,6 (degree
+    < 3); K4 survives with degree 3 each.  Duplicate/reverse/self
+    edges are absorbed by the canonicalization."""
+    from ot_spark.graph import kcore
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    noise = [(1, 0), (2, 2), (0, 1)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4), (4, 5), (0, 6)] + noise, ["src", "dst"]
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, k=3, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascading_peel(spark):
+    """The peel must cascade: a chain hung off a triangle loses one link
+    per round, so surviving the k=2 core requires iterating — round 1
+    removes only the chain tip, round 3 reaches the triangle boundary."""
+    from ot_spark.graph import kcore
+
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(tri + chain, ["src", "dst"])
+    # round 1 peels 5, round 2 peels 4, round 3 peels 3 — node 2's
+    # reported degree is as-of round 3's evaluation (edge to 3 still
+    # counted), the documented fixed-round semantics
+    got3 = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert got3 == {0: 2, 1: 2, 2: 3}
+    # one more round reaches the fixpoint: the bare triangle
+    got4 = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert got4 == {0: 2, 1: 2, 2: 2}
