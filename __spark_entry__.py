@@ -1765,6 +1765,47 @@ FROM r GROUP BY term
 """
 
 
+def q_delta_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list delta-gap + varint compression (round 6;
+    ot_spark/webtext/invindex.py::delta_postings): sorted doc ids become
+    gaps, the byte tally is a threshold when-chain inside one
+    F.aggregate fold — zero exchanges beyond the index build's two.
+    Gap arrays element-for-element plus both byte counts against a
+    DuckDB lag-window replay, bit-exact."""
+    from ot_spark.webtext.invindex import delta_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return delta_postings(docs, posting_cap=10)
+
+
+def _delta_postings_oracle_sql(cap: int = 10) -> str:
+    vb = ("CASE " + " ".join(
+        f"WHEN gap < {1 << (7 * n)} THEN {n}" for n in range(1, 9)
+    ) + " ELSE 9 END")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+pd AS (SELECT term, doc_id FROM e GROUP BY 1, 2),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pd),
+g AS (SELECT term, rn,
+             doc_id - coalesce(
+               lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0
+             ) AS gap
+      FROM r WHERE rn <= {cap}),
+caps AS (
+  SELECT term, list(gap ORDER BY rn) AS gaps,
+         CAST(sum({vb}) AS BIGINT) AS bytes_varint,
+         CAST(count(*) * 8 AS BIGINT) AS bytes_raw
+  FROM g GROUP BY term
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM r GROUP BY term)
+SELECT dfs.term, df, gaps, bytes_varint, bytes_raw
+FROM dfs JOIN caps USING (term)
+"""
+
+
 def q_host_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-host page-length percentiles (round 6;
     textstats.exact_percentiles): median/p90/p99 of text length per host
@@ -3289,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
+        "delta_postings": q_delta_postings,
         "host_percentiles": q_host_percentiles,
         "cms_build": q_cms_build,
         "cms_estimate": q_cms_estimate,
@@ -4060,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
+        "delta_postings": _delta_postings_oracle_sql(),
         "host_percentiles": _host_percentiles_oracle_sql(),
         "cms_build": _cms_build_oracle_sql(),
         "cms_estimate": _cms_estimate_oracle_sql(),

@@ -56,6 +56,60 @@ def inverted_index(
     )
 
 
+def _varint_bytes(g) -> "F.Column":
+    """LEB128/varint encoded size of a non-negative BIGINT: 7 payload
+    bits per byte, so bytes = max(1, ceil(bit_length/7)).  Expressed as
+    a threshold when-chain (integer-exact, JVM-side, no float log);
+    any long >= 2^56 takes the maximal 9 bytes."""
+    b = F.when(g < (1 << 7), 1)
+    for n in range(2, 9):
+        b = b.when(g < (1 << (7 * n)), n)
+    return b.otherwise(9)
+
+
+def delta_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    posting_cap: int = 10,
+) -> DataFrame:
+    """Delta-gap + varint compression stats for the capped posting lists
+    — the standard index-compression layer (Zobel & Moffat 2006,
+    public): sorted doc ids become first-id-then-gaps, and small gaps
+    varint-encode in 1-2 bytes instead of 8.
+
+    Everything is Column algebra over the inverted_index output — the
+    gap transform references the postings array as a bound column (NOT
+    re-derived per element; see the Catalyst lambda-inlining hazard),
+    and the byte tally is one F.aggregate fold — so compression adds
+    ZERO exchanges on top of the index build's two.
+
+    Returns (term, df, gaps, bytes_varint, bytes_raw): the gap array
+    element-for-element, its varint-encoded size, and the uncompressed
+    8-bytes-per-id size of the same capped list.
+    """
+    idx = inverted_index(docs, id_col, text_col, posting_cap)
+    p = F.col("postings")
+    gaps = F.transform(
+        p,
+        lambda x, i: x - F.when(i > 0, F.element_at(p, i)).otherwise(F.lit(0)),
+    )
+    out = idx.select(
+        "term",
+        "df",
+        gaps.alias("gaps"),
+        (F.size(p).cast("long") * 8).alias("bytes_raw"),
+    )
+    vb = F.aggregate(
+        F.col("gaps"),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + _varint_bytes(g).cast("long"),
+    )
+    return out.select(
+        "term", "df", "gaps", vb.alias("bytes_varint"), "bytes_raw"
+    )
+
+
 def pmi_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

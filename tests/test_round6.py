@@ -1198,3 +1198,46 @@ def test_kcore_cascading_peel(spark):
     # one more round reaches the fixpoint: the bare triangle
     got4 = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=4).collect()}
     assert got4 == {0: 2, 1: 2, 2: 2}
+
+
+def test_delta_postings_roundtrip_and_bytes(spark):
+    """Gap arrays prefix-sum back to the original capped postings for
+    every term at sf0.001, and the varint byte tally matches a python
+    LEB128 encoder exactly — the compression layer must be losslessly
+    invertible and its size claim honest."""
+    from ot_spark.webtext.invindex import delta_postings, inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = {r["term"]: r["postings"]
+           for r in inverted_index(docs, posting_cap=10).collect()}
+    rows = delta_postings(docs, posting_cap=10).collect()
+    assert {r["term"] for r in rows} == set(idx)
+
+    def leb_len(v: int) -> int:
+        n = 1
+        while v >= 128:
+            v >>= 7
+            n += 1
+        return n
+
+    for r in rows:
+        acc, back = 0, []
+        for gp in r["gaps"]:
+            acc += gp
+            back.append(acc)
+        assert back == idx[r["term"]], r["term"]
+        assert r["bytes_varint"] == sum(leb_len(gp) for gp in r["gaps"])
+        assert r["bytes_raw"] == 8 * len(r["gaps"])
+        # gaps are non-negative (postings strictly increase)
+        assert all(gp >= 0 for gp in r["gaps"])
+
+
+def test_delta_postings_adds_no_exchange(spark):
+    """Compression is pure Column algebra on the index build's output:
+    the plan has exactly as many exchanges as inverted_index itself."""
+    from ot_spark.webtext.invindex import delta_postings, inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = _formatted_plan(inverted_index(docs)).count("Exchange")
+    comp = _formatted_plan(delta_postings(docs)).count("Exchange")
+    assert comp == base
