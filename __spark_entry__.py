@@ -1765,6 +1765,99 @@ FROM r GROUP BY term
 """
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch scheduling (round 6; ot_spark/webtext/urltools.py
+    ::fetch_schedule): rank per host by (priority DESC, url ASC), round
+    = (rank-1) DIV per-host rate, the rate attached via a broadcast
+    host-dimension join — one window exchange total.  Deterministic
+    total order, so the window-SQL oracle matches bit-for-bit."""
+    from ot_spark.webtext.urltools import fetch_schedule
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    hostnum = (d % 50).cast("long")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://site"), hostnum.cast("string"),
+            F.lit(".org/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("site"), hostnum.cast("string"), F.lit(".org")
+        ).alias("host"),
+        (d % 100).cast("long").alias("priority"),
+    )
+    rates = spark.range(50).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".org"))
+        .alias("host"),
+        (1 + F.col("id") % 3).cast("long").alias("rate"),
+    )
+    return fetch_schedule(frontier.join(F.broadcast(rates), "host"))
+
+
+def _fetch_schedule_oracle_sql() -> str:
+    return """
+WITH f AS (
+  SELECT 'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS host,
+         CAST(doc_id % 100 AS BIGINT) AS priority,
+         CAST(1 + (doc_id % 50) % 3 AS BIGINT) AS rate
+  FROM documents
+),
+r AS (
+  SELECT url, host, priority, rate,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, url ASC
+         ) AS BIGINT) AS rank_in_host
+  FROM f
+)
+SELECT url, host, priority, rank_in_host,
+       CAST((rank_in_host - 1) // rate AS BIGINT) AS fetch_round
+FROM r
+"""
+
+
+def q_burst_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-activity burst detection (round 6; ot_spark/webtext/
+    crawldiff.py::burst_hosts) over the synthetic revision log: per
+    (host, day) counts vs the trailing 3-day RANGE-frame total, burst
+    when cnt > 2x prev and cnt >= 3.  Two exchanges carrying (host,
+    day) cells, never pages.  Pure integer -> bit-exact oracle."""
+    from ot_spark.webtext.crawldiff import burst_hosts, synthetic_revisions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    revs = synthetic_revisions(docs)
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
+    )
+    return burst_hosts(revs, host)
+
+
+def _burst_hosts_oracle_sql(
+    trail_days: int = 3, factor: int = 2, min_count: int = 3
+) -> str:
+    return f"""
+WITH r AS ({_CRAWL_REVS_SQL}),
+cells AS (
+  SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS host,
+         CAST((warc_epoch - 1735689600) // 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM r GROUP BY 1, 2
+),
+w AS (
+  SELECT host, day, cnt,
+         CAST(coalesce(sum(cnt) OVER (
+           PARTITION BY host ORDER BY day
+           RANGE BETWEEN {trail_days} PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev
+  FROM cells
+)
+SELECT host, day, cnt, prev,
+       (cnt > {factor} * prev AND cnt >= {min_count}) AS is_burst
+FROM w
+"""
+
+
 def q_delta_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list delta-gap + varint compression (round 6;
     ot_spark/webtext/invindex.py::delta_postings): sorted doc ids become
@@ -3331,6 +3424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
         "delta_postings": q_delta_postings,
+        "fetch_schedule": q_fetch_schedule,
+        "burst_hosts": q_burst_hosts,
         "host_percentiles": q_host_percentiles,
         "cms_build": q_cms_build,
         "cms_estimate": q_cms_estimate,
@@ -4103,6 +4198,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
         "delta_postings": _delta_postings_oracle_sql(),
+        "fetch_schedule": _fetch_schedule_oracle_sql(),
+        "burst_hosts": _burst_hosts_oracle_sql(),
         "host_percentiles": _host_percentiles_oracle_sql(),
         "cms_build": _cms_build_oracle_sql(),
         "cms_estimate": _cms_estimate_oracle_sql(),

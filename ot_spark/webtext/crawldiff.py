@@ -165,3 +165,57 @@ def crawl_delta(revs: DataFrame, t1_epoch: int, t2_epoch: int) -> DataFrame:
         )
         .where(F.col("status").isNotNull())
     )
+
+
+def burst_hosts(
+    revs: DataFrame,
+    host: Column,
+    epoch_col: str = "warc_epoch",
+    trail_days: int = 3,
+    factor: int = 2,
+    min_count: int = 3,
+) -> DataFrame:
+    """Crawl-activity burst detection per host: flag (host, day) cells
+    whose page count exceeds ``factor`` x the trailing ``trail_days``-day
+    total — the recrawl-scheduler signal ("this site just published a
+    lot; crawl it sooner").
+
+    Integer-exact throughout (counts and a multiply — no float z-score),
+    so the DuckDB oracle matches bit-for-bit.  The trailing window is a
+    RANGE frame over the day number, not ROWS — days with zero crawls
+    are simply absent, and a ROWS frame would silently reach past the
+    gap into older days.
+
+    Distributed shape, two exchanges that carry (host, day) cells, not
+    pages: one partial-aggregable groupBy(host, day) count, then the
+    range window partitioned by host.  At 10^12 pages the first
+    exchange's output is bounded by hosts x days — dimension-sized.
+
+    Returns (host, day, cnt, prev, is_burst): day is days since the
+    crawl epoch, prev the trailing total (0 when no history), and
+    is_burst = cnt > factor * prev AND cnt >= min_count (the min_count
+    floor keeps one-page hosts from flagging on their first crawl).
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        revs.select(
+            host.alias("host"),
+            F.expr(f"({epoch_col} - {CRAWL_EPOCH}) DIV {DAY}").alias("day"),
+        )
+        .groupBy("host", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("day")
+        .rangeBetween(-trail_days, -1)
+    )
+    prev = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+    return cells.select(
+        "host", "day", "cnt",
+        prev.alias("prev"),
+        (
+            (F.col("cnt") > factor * prev) & (F.col("cnt") >= min_count)
+        ).alias("is_burst"),
+    )

@@ -254,3 +254,46 @@ def registrable_domain_sql(
         f"THEN regexp_extract({host_sql}, '([^.]+[.][^.]+)$', 1) "
         f"ELSE {host_sql} END) END)"
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    host: str = "host",
+    priority: str = "priority",
+    url: str = "url",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: every crawl frontier must turn
+    "these URLs are worth fetching" into "fetch at most ``rate`` URLs
+    per host per round" (the crawl-delay contract robots.txt implies).
+
+    Per host, URLs are ranked by (priority DESC, url ASC) — a total
+    order, so the schedule is deterministic — and the round is
+    ``(rank - 1) DIV rate`` with the per-host rate joined on as a
+    dimension (hosts with a generous crawl-delay drain faster).
+
+    Distributed shape: ONE exchange total — the rank is a window
+    partitioned by host; the per-host rate arrives as a column the
+    caller attaches via a BROADCAST dimension join (host-cardinality),
+    so nothing but the window itself shuffles (plan-pinned).  Mega-host
+    skew hits the window sort, not correctness — a production frontier
+    shards a mega-host's sort by pre-bucketing priority bands, exactly
+    the salted-agg pattern in ot_spark/skew.py.
+
+    Returns (url, host, priority, rank_in_host, fetch_round).
+    """
+    from pyspark.sql import Window
+
+    if rate_col not in frontier.columns:
+        raise ValueError("frontier must carry a per-host rate column")
+    w = Window.partitionBy(host).orderBy(
+        F.col(priority).desc(), F.col(url).asc()
+    )
+    rk = F.row_number().over(w).cast("long")
+    return frontier.select(
+        url, host, priority, rate_col,
+        rk.alias("rank_in_host"),
+    ).select(
+        url, host, priority, "rank_in_host",
+        F.expr(f"(rank_in_host - 1) DIV {rate_col}").alias("fetch_round"),
+    )

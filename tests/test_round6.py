@@ -1241,3 +1241,87 @@ def test_delta_postings_adds_no_exchange(spark):
     base = _formatted_plan(inverted_index(docs)).count("Exchange")
     comp = _formatted_plan(delta_postings(docs)).count("Exchange")
     assert comp == base
+
+
+def test_fetch_schedule_politeness_invariants(spark):
+    """Scheduler contract on a hand frontier: at most ``rate`` URLs per
+    host per round, rounds are dense from 0, priority strictly drains
+    first (no URL fetches in an earlier round than a higher-priority
+    same-host URL), ties broken by url."""
+    from ot_spark.webtext.urltools import fetch_schedule
+
+    rows = [
+        ("u%02d" % i, "a.org", p, 2)
+        for i, p in enumerate([9, 9, 7, 7, 5, 3, 1])
+    ] + [("v%d" % i, "b.org", 10 - i, 1) for i in range(3)]
+    f = spark.createDataFrame(
+        rows, ["url", "host", "priority", "rate"]
+    )
+    out = fetch_schedule(f).collect()
+    byhost: dict = {}
+    for r in out:
+        byhost.setdefault(r["host"], []).append(r)
+    for host, rs in byhost.items():
+        rate = 2 if host == "a.org" else 1
+        per_round: dict = {}
+        for r in rs:
+            per_round[r["fetch_round"]] = per_round.get(r["fetch_round"], 0) + 1
+        assert all(v <= rate for v in per_round.values())
+        assert sorted(per_round) == list(range(len(per_round)))
+        # priority monotone in rank
+        rs = sorted(rs, key=lambda r: r["rank_in_host"])
+        pri = [r["priority"] for r in rs]
+        assert pri == sorted(pri, reverse=True)
+    assert {r["fetch_round"] for r in byhost["b.org"]} == {0, 1, 2}
+
+
+def test_fetch_schedule_single_exchange(spark):
+    """Plan guard: the schedule itself adds exactly ONE exchange (the
+    host window); the rate dimension rides a broadcast join."""
+    from ot_spark.webtext.urltools import fetch_schedule
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        (d % 5).cast("string").alias("host"),
+        (d % 100).cast("long").alias("priority"),
+    )
+    rates = spark.range(5).select(
+        F.col("id").cast("string").alias("host"),
+        (1 + F.col("id") % 3).cast("long").alias("rate"),
+    )
+    plan = _formatted_plan(fetch_schedule(frontier.join(F.broadcast(rates), "host")))
+    shuffles = plan.count(") Exchange")  # "(n) Exchange"; broadcast
+    # exchanges print as "(n) BroadcastExchange" and don't match
+    assert shuffles == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_burst_hosts_hand_log(spark):
+    """Hand-built crawl log: host A crawls 1/day for 3 days then 9 on
+    day 3 (burst: 9 > 2*3); host B posts 4 on its FIRST day (no burst —
+    prev=0 path must not flag cold starts via min_count... it does
+    flag only when cnt > 2*0 AND cnt >= 3, so first-day spikes DO flag);
+    host C's gap: days 0 and 10 — the RANGE frame must NOT reach across
+    the gap, so day 10 sees prev=0."""
+    from ot_spark.webtext.crawldiff import CRAWL_EPOCH, DAY, burst_hosts
+
+    def rows(host, day, n):
+        return [(host, CRAWL_EPOCH + day * DAY + i) for i in range(n)]
+
+    data = (
+        rows("A", 0, 1) + rows("A", 1, 1) + rows("A", 2, 1) + rows("A", 3, 9)
+        + rows("B", 0, 4)
+        + rows("C", 0, 5) + rows("C", 10, 2)
+    )
+    revs = spark.createDataFrame(data, ["h", "warc_epoch"])
+    got = {
+        (r["host"], r["day"]): (r["cnt"], r["prev"], r["is_burst"])
+        for r in burst_hosts(revs, F.col("h")).collect()
+    }
+    assert got[("A", 3)] == (9, 3, True)
+    assert got[("A", 1)] == (1, 1, False)
+    assert got[("B", 0)] == (4, 0, True)   # cold-start spike flags
+    assert got[("C", 10)] == (2, 0, False)  # gap: range frame sees nothing
+    assert got[("C", 0)] == (5, 0, True)
