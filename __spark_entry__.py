@@ -1457,6 +1457,59 @@ FROM base
 """
 
 
+def q_warc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink (round 6; ot_spark/webtext/warc.py::write_warc_records):
+    parse the synthetic blobs, serialize them back in canonical header
+    order — map-side record strings, ONE groupBy(doc_id) exchange with
+    sort_array(collect_list(struct)) ordering.  Byte-identical against
+    a DuckDB replay of the canonical serialization (returned as UTF-8
+    text so both engines hash the same value)."""
+    from ot_spark.webtext.warc import (
+        parse_warc_records, synthetic_warc_blob, write_warc_records,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
+    )
+    out = write_warc_records(parse_warc_records(blobs))
+    return out.select(
+        "doc_id", F.decode(F.col("warc"), "UTF-8").alias("warc_text")
+    )
+
+
+_WARC_WRITE_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(rev AS INT) AS rec_idx,
+         1735689600 + (doc_id % 11) * 86400
+           + rev * 86400 * (1 + doc_id % 5) AS warc_epoch,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id % 200 AS VARCHAR) AS target_uri,
+         'rec:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rev AS VARCHAR)
+           || ':' ||
+           CASE WHEN doc_id % 13 = 0 THEN 'WARC/1.0' || chr(13) || chr(10)
+                ELSE repeat('x', CAST((doc_id + rev) % 17 AS INT)) END
+           AS payload
+  FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS rev FROM documents)
+),
+recs AS (
+  SELECT doc_id, rec_idx,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: response' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || target_uri || chr(13) || chr(10)
+         || 'WARC-Date: '
+         || strftime(make_timestamp(warc_epoch * 1000000),
+                     '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(length(payload) AS VARCHAR)
+         || chr(13) || chr(10) || chr(13) || chr(10)
+         || payload || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+  FROM base
+)
+SELECT doc_id, string_agg(rec, '' ORDER BY rec_idx) AS warc_text
+FROM recs GROUP BY doc_id
+"""
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link graph (round 6): raw html -> extract_links ->
     host_col on both endpoints -> inter-host edge counts — the
@@ -3408,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "ccnet_buckets": q_ccnet_buckets,
         "warc_parse": q_warc_parse,
+        "warc_write": q_warc_write,
         "host_graph": q_host_graph,
         "crawl_asof": q_crawl_asof,
         "crawl_delta": q_crawl_delta,
@@ -4182,6 +4236,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": _link_extract_oracle_sql(),
         "ccnet_buckets": _CCNET_BUCKETS_ORACLE_SQL_TMPL.format(toks=_TOKS_SQL),
         "warc_parse": _WARC_PARSE_ORACLE_SQL,
+        "warc_write": _WARC_WRITE_ORACLE_SQL,
         "host_graph": _HOST_GRAPH_ORACLE_SQL,
         "crawl_asof": _CRAWL_ASOF_ORACLE_SQL,
         "crawl_delta": _CRAWL_DELTA_ORACLE_SQL,

@@ -154,3 +154,52 @@ def parse_warc_records(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, RECORD_SCHEMA)
+
+
+def write_warc_records(
+    records: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC sink: serialize parsed record rows back into per-document
+    WARC/1.0 blobs — the writer half of the source/sink pair, so a
+    filter/enrich pipeline can re-emit valid segment files.
+
+    CANONICAL header order (Type, Target-URI, Date, Content-Length) —
+    the spec says header order is free, so the writer normalizes; the
+    roundtrip contract is record-level (parse(write(parse(x))) ==
+    parse(x)), pinned by pytest, plus byte-level against a DuckDB
+    replay of the canonical serialization.
+
+    Distributed shape: record strings (version line, headers, framed
+    payload) are pure map-side Column algebra; ONE groupBy(doc_id)
+    exchange collects them, ordered by rec_idx via
+    sort_array(collect_list(struct)) — no window, map-side combinable.
+    Content-Length is re-derived from the payload, never trusted from
+    the input row.  Returns (doc_id, warc: binary).
+    """
+    date = F.concat(
+        F.from_unixtime("warc_epoch", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), F.col("target_uri"), F.lit(_CRLF),
+        F.lit("WARC-Date: "), date, F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length("payload").cast("string"), F.lit(_CRLF),
+        F.lit(_CRLF), F.col("payload"), F.lit(_CRLF + _CRLF),
+    )
+    per = records.select(
+        F.col(id_col),
+        F.struct(F.col("rec_idx"), rec.alias("rec")).alias("s"),
+    )
+    return per.groupBy(id_col).agg(
+        F.encode(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ),
+            "UTF-8",
+        ).alias("warc")
+    )
