@@ -1818,6 +1818,41 @@ FROM r GROUP BY term
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment (round 6; ot_spark/cells.py::
+    zorder_layout): Morton-interleave the 1-degree grid coordinates
+    (9 bits each), zbucket = top 6 z bits — a static space partition,
+    pure map, zero shuffles, deterministic under any parallelism.
+    The SQL twin is generated from the same loop, so the oracle is
+    bit-exact."""
+    from ot_spark.cells import zorder_layout
+    from ot_spark.pagesview import pages_df
+
+    p = pages_df(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(floor(lon + 180.0) AS BIGINT)").alias("xi"),
+        F.expr("CAST(floor(lat + 90.0) AS BIGINT)").alias("yi"),
+    )
+    return zorder_layout(p, F.col("xi"), F.col("yi"), bits=9, bucket_bits=6)
+
+
+def _zorder_oracle_sql() -> str:
+    from ot_spark.cells import zorder_sql
+
+    z = zorder_sql("xi", "yi", bits=9)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(floor({_LON100} / 100.0 + 180.0) AS BIGINT) AS xi,
+         CAST(floor({_LAT100} / 100.0 + 90.0) AS BIGINT) AS yi
+  FROM documents
+)
+SELECT doc_id, xi, yi, {z} AS zval,
+       CAST({z} >> 12 AS BIGINT) AS zbucket
+FROM g
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness fetch scheduling (round 6; ot_spark/webtext/urltools.py
     ::fetch_schedule): rank per host by (priority DESC, url ASC), round
@@ -3479,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "delta_postings": q_delta_postings,
         "fetch_schedule": q_fetch_schedule,
+        "zorder_layout": q_zorder_layout,
         "burst_hosts": q_burst_hosts,
         "host_percentiles": q_host_percentiles,
         "cms_build": q_cms_build,
@@ -4254,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _inverted_index_oracle_sql(),
         "delta_postings": _delta_postings_oracle_sql(),
         "fetch_schedule": _fetch_schedule_oracle_sql(),
+        "zorder_layout": _zorder_oracle_sql(),
         "burst_hosts": _burst_hosts_oracle_sql(),
         "host_percentiles": _host_percentiles_oracle_sql(),
         "cms_build": _cms_build_oracle_sql(),

@@ -69,3 +69,64 @@ def grid_cell_sql(lat_expr: str, lon_expr: str, tile_size: float = 1.0) -> str:
         f"CAST(floor(({lat_expr} + 90.0) / {tile_size}) AS BIGINT) * {ntl} "
         f"+ CAST(floor(({lon_expr} + 180.0) / {tile_size}) AS BIGINT) END"
     )
+
+
+def zorder_col(x: Column, y: Column, bits: int = 9) -> Column:
+    """Morton/Z-order interleave of two non-negative integer grid
+    coordinates (Morton 1966, public; the layout key behind Delta/
+    Iceberg Z-ORDER clustering): bit i of ``x`` lands at 2i, bit i of
+    ``y`` at 2i+1, so records close in BOTH dimensions get close
+    z-values and one range of z covers a compact spatial tile.
+
+    Pure Column bit algebra — an unrolled OR chain of ``2*bits`` masked
+    shifts, whole-stage-codegen-friendly, ZERO shuffles.  The SQL twin
+    ``zorder_sql`` is generated from the same loop so the two engines
+    cannot drift.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_sql(x_expr: str, y_expr: str, bits: int = 9) -> str:
+    """The SAME interleave as ANSI SQL, generated from the same loop.
+    Every term is FULLY parenthesized: DuckDB (like Postgres) gives
+    ``|`` and ``<<`` equal precedence left-associative, so an unwrapped
+    ``a << 2 | b << 3`` parses as ``((a << 2) | b) << 3``."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "CAST((" + " | ".join(terms) + ") AS BIGINT)"
+
+
+def zorder_layout(
+    df, x: Column, y: Column, bits: int = 9, bucket_bits: int = 6
+):
+    """Z-order layout assignment: (zval, zbucket) per row, where
+    ``zbucket`` is the TOP ``bucket_bits`` bits of the z-value — a
+    static space partition, so the assignment is a pure map (no global
+    sort, no sampled range boundaries, deterministic under any
+    parallelism).  A bucket is exactly one aligned 2^(bits - b/2) x
+    2^(bits - b/2) spatial tile.
+
+    At 100 TB this feeds the writer as
+    ``df.repartition(n, zbucket).sortWithinPartitions(zval)`` — min/max
+    zval per file then prunes 2-D range scans the way Delta/Iceberg
+    Z-ORDER clustering does, but with no global range-sampling pass.
+    Skewed tiles (mega-cities) split by appending low z bits to the
+    bucket — same salting algebra as ot_spark/skew.py.
+    """
+    z = zorder_col(x, y, bits)
+    return df.select(
+        "*",
+        z.alias("zval"),
+        F.shiftright(z, 2 * bits - bucket_bits).cast("long").alias("zbucket"),
+    )

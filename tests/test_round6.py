@@ -1350,3 +1350,34 @@ def test_warc_write_roundtrip(spark):
     assert a == b and len(a) > 0
     # the adversarial case is actually present in the fixture
     assert any(r[5].endswith("WARC/1.0\r\n") for r in a)
+
+
+def test_zorder_interleave_replay_and_tiles(spark):
+    """Morton interleave matches a python bit replay on a coordinate
+    sweep, z-values are unique per (x, y), the plan is shuffle-free,
+    and every zbucket is exactly one aligned 8x8 spatial tile (top-3
+    bits of each coordinate) — the property that makes per-file zval
+    min/max prune 2-D range scans."""
+    from ot_spark.cells import zorder_layout
+
+    pts = [(x, y) for x in range(0, 360, 7) for y in range(0, 180, 11)]
+    df = spark.createDataFrame(pts, ["xi", "yi"])
+    out = zorder_layout(df, F.col("xi"), F.col("yi"), bits=9, bucket_bits=6)
+    rows = out.collect()
+
+    def morton(x, y, bits=9):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    seen = set()
+    for r in rows:
+        assert r["zval"] == morton(r["xi"], r["yi"]), (r["xi"], r["yi"])
+        assert r["zbucket"] == r["zval"] >> 12
+        # bucket <-> aligned tile bijection: top 3 bits of each coord
+        assert r["zbucket"] == morton(r["xi"] >> 6, r["yi"] >> 6, bits=3)
+        seen.add(r["zval"])
+    assert len(seen) == len(pts)  # injective on the grid
+    plan = _formatted_plan(out)
+    assert ") Exchange" not in plan, plan
