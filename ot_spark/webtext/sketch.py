@@ -185,35 +185,46 @@ def bloom_pos_sql(hex_col: str, i: int) -> str:
     return "((" + " + ".join(terms) + f") % {BLOOM_BITS})"
 
 
-def pow2_sql(bit_expr: str) -> str:
-    """2^bit for bit in 0..31 as an integer CASE chain (0 outside the
-    range — that is what scopes a position to its word).  ``bit_expr``
-    is referenced 32 times: pass a BOUND COLUMN (or column minus a
-    literal), never an inline computation."""
-    whens = "".join(
-        f" WHEN {bit_expr} = {b} THEN {2 ** b}" for b in range(BLOOM_WORD_BITS)
-    )
-    return f"(CASE{whens} ELSE 0 END)"
+def bloom_mask_sql(pos_col: str) -> str:
+    """2^(pos % 32) — the hash's in-word bit mask, computed ONCE per
+    hash as a bound column.  Valid verbatim in Spark SQL and DuckDB
+    (both support ``<<`` on BIGINT; fully parenthesized — DuckDB gives
+    ``|``/``<<`` equal precedence).  The mask + range-test pair
+    replaces a 32-arm power-of-two CASE chain per (hash, word): that
+    chain expanded to 1024 codegen branches, pushing the projection
+    past the JVM's 64 KB method limit into silent interpreted
+    fallback."""
+    return f"(CAST(1 AS BIGINT) << (({pos_col}) % {BLOOM_WORD_BITS}))"
 
 
-def bloom_word_sql(w: int, pos_cols: list[str]) -> str:
-    """Row-level contribution to word ``w``: OR of each hash's power-of-
-    two when its position falls in [32w, 32w+32) — out-of-range positions
-    contribute 0 through the CASE's ELSE."""
+def bloom_word_sql(
+    w: int, pos_cols: list[str], mask_cols: list[str] | None = None
+) -> str:
+    """Row-level contribution to word ``w``: OR of each hash's mask when
+    its position falls in [32w, 32w+32), else 0.  ``mask_cols`` default
+    to inline shifts (the oracle-SQL path, where DuckDB re-evaluating a
+    cheap shift per word is fine); the Spark path passes bound mask
+    columns."""
+    if mask_cols is None:
+        mask_cols = [bloom_mask_sql(p) for p in pos_cols]
+    lo, hi = w * BLOOM_WORD_BITS, (w + 1) * BLOOM_WORD_BITS
     return (
         "("
         + " | ".join(
-            pow2_sql(f"({p} - {w * BLOOM_WORD_BITS})") for p in pos_cols
+            f"(CASE WHEN ({p}) >= {lo} AND ({p}) < {hi} THEN ({m}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for p, m in zip(pos_cols, mask_cols)
         )
         + ")"
     )
 
 
 def with_bloom_words(df: DataFrame, item_col: str) -> DataFrame:
-    """Append the row's 8 word contributions __bw0..__bw7.  The digest
-    and the 4 positions are materialized as bound columns in separate
-    selects — each position feeds 8 x 32 CASE arms, and Catalyst would
-    re-evaluate an inlined positional sum per arm."""
+    """Append the row's 8 word contributions __bw0..__bw7.  The digest,
+    the 4 positions, and the 4 masks are materialized as bound columns
+    in separate selects — the word expressions reference each position
+    twice and each mask once, and Catalyst would re-evaluate an inlined
+    positional sum per reference."""
     d = df.withColumn("__bf_h", F.expr(f"md5({item_col})"))
     d = d.select(
         "*",
@@ -225,12 +236,18 @@ def with_bloom_words(df: DataFrame, item_col: str) -> DataFrame:
     pos = [f"__bp{i}" for i in range(BLOOM_HASHES)]
     d = d.select(
         "*",
+        *[F.expr(bloom_mask_sql(p)).alias(f"__bm{i}")
+          for i, p in enumerate(pos)],
+    )
+    masks = [f"__bm{i}" for i in range(BLOOM_HASHES)]
+    d = d.select(
+        "*",
         *[
-            F.expr(bloom_word_sql(w, pos)).cast("long").alias(f"__bw{w}")
+            F.expr(bloom_word_sql(w, pos, masks)).cast("long").alias(f"__bw{w}")
             for w in range(BLOOM_WORDS)
         ],
     )
-    return d.drop("__bf_h", *pos)
+    return d.drop("__bf_h", *pos, *masks)
 
 
 def bloom_build(df: DataFrame, keys: list[str], item_col: str) -> DataFrame:
