@@ -1026,6 +1026,45 @@ ORDER BY n_triangles DESC, node ASC LIMIT 20
 """])
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation host similarity (round 6; ot_spark/graph.py::
+    cocitation): hosts linked by the same source pages, Jaccard over
+    capped per-source target sets — the "related domains" panel.  Pair
+    fan-out is bounded by the row_number cap BEFORE the self-join (the
+    LSH max_bucket discipline); degree lookups broadcast.  Counts are
+    BIGINTs, the one float rounds to 6 dp — bit-stable oracle."""
+    from ot_spark.graph import cocitation, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    hosted = synthetic_edges(docs, n).select(
+        "src", (F.col("dst") % 50).alias("dst")
+    )
+    return cocitation(hosted, cap=20)
+
+
+def _cocitation_oracle_sql(cap: int = 20) -> str:
+    return "".join(["WITH ", _EDGES_CTE_SQL, f""",
+he AS (SELECT DISTINCT src, dst % 50 AS dst FROM e),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM he
+  ) WHERE rn <= {cap}
+),
+deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM capped GROUP BY dst),
+pairs AS (
+  SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS common
+  FROM capped x JOIN capped y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY x.dst, y.dst HAVING count(*) >= 2
+)
+SELECT a, b, common, da.d AS deg_a, db.d AS deg_b,
+       round(CAST(common AS DOUBLE) / (da.d + db.d - common), 6) AS jaccard
+FROM pairs JOIN deg da ON pairs.a = da.dst JOIN deg db ON pairs.b = db.dst
+"""])
+
+
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (round 6; ot_spark/graph.py::
     label_prop): host-community labels after 3 deterministic rounds —
@@ -3509,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "label_prop": q_label_prop,
         "kcore": q_kcore,
+        "cocitation": q_cocitation,
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
@@ -4285,6 +4325,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _triangles_oracle_sql(),
         "label_prop": _label_prop_oracle_sql(),
         "kcore": _kcore_oracle_sql(),
+        "cocitation": _cocitation_oracle_sql(),
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),

@@ -366,3 +366,58 @@ def triangles(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def cocitation(edges: DataFrame, cap: int = 20) -> DataFrame:
+    """Co-citation similarity (Small 1973, public): two hosts are
+    related when the same pages link to both — the classic "related
+    domains" signal, and the bibliographic twin of collaborative
+    filtering's item-item co-occurrence.
+
+    Pair generation is the scale hazard: a mega-page linking 10^5 hosts
+    contributes 10^10 pairs.  The per-source fan-out is therefore
+    CAPPED before pairing — row_number over (src ORDER BY dst) keeps
+    the first ``cap`` targets per source, exactly the max_bucket
+    discipline the LSH candidate generator uses (webtext/dedup.py), so
+    the self-join is co-partitioned on src and never exceeds cap^2
+    rows per source.  Degrees for the Jaccard denominator are counted
+    over the SAME capped edge set, so the score stays a true Jaccard
+    of the sets actually paired.
+
+    Returns (a, b, common, deg_a, deg_b, jaccard) for a < b with
+    common >= 2; jaccard rounded to 6 dp (the one float — counts are
+    BIGINTs), bit-stable for the cross-engine gate.
+    """
+    from pyspark.sql import Window
+
+    # bipartite input (source page -> cited host): no self-loop filter —
+    # src and dst live in different key domains, and same-dst pairs are
+    # excluded by a < b anyway
+    e = edges.select("src", "dst").distinct()
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    capped = e.withColumn("__rn", rn).where(F.col("__rn") <= cap).drop("__rn")
+    deg = capped.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = capped.select(F.col("src"), F.col("dst").alias("a"))
+    b = capped.select(F.col("src"), F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(deg.select(F.col("dst").alias("a"),
+                                   F.col("d").alias("deg_a"))), "a")
+        .join(
+            F.broadcast(deg.select(F.col("dst").alias("b"),
+                                   F.col("d").alias("deg_b"))), "b")
+    )
+    jac = F.round(
+        F.col("common")
+        / (F.col("deg_a") + F.col("deg_b") - F.col("common")), 6
+    )
+    return out.select(
+        "a", "b", "common", "deg_a", "deg_b", jac.alias("jaccard")
+    )

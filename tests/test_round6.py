@@ -1381,3 +1381,38 @@ def test_zorder_interleave_replay_and_tiles(spark):
     assert len(seen) == len(pts)  # injective on the grid
     plan = _formatted_plan(out)
     assert ") Exchange" not in plan, plan
+
+
+def test_cocitation_hand_graph_and_cap(spark):
+    """Hand case: pages 0,1,2 all link hosts A+B (common=3); page 3
+    links A+C and B+C (common=1 each, filtered by the >=2 floor).
+    Jaccard checks the capped-set degrees.  Then a mega-page linking 30
+    hosts must contribute only cap-bounded pairs — the first ``cap``
+    targets by order — so the pair count stays cap*(cap-1)/2."""
+    from ot_spark.graph import cocitation
+
+    edges = [(p, h) for p in (0, 1, 2) for h in ("A", "B")] + [
+        (3, "A"), (3, "C"), (3, "B")
+    ]
+    got = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in cocitation(
+            spark.createDataFrame(edges, ["src", "dst"]), cap=20
+        ).collect()
+    }
+    # A: linked by 0,1,2,3 (deg 4); B: by 0,1,2,3 (deg 4); common(A,B)=4
+    # -> identical citer sets, jaccard 4/(4+4-4) = 1.0
+    assert got == {("A", "B"): (4, 4, 4, 1.0)}, got
+
+    mega = [(99, "h%02d" % i) for i in range(30)]
+    pairs = cocitation(
+        spark.createDataFrame(mega + [(99, "h00")], ["src", "dst"]), cap=5
+    ).where(F.col("common") >= 1)
+    # with the >=2 floor nothing survives a single source; drop to raw
+    # pair count via common>=1 by rebuilding with two identical sources
+    both = mega + [(98, h) for _, h in mega]
+    out = cocitation(spark.createDataFrame(both, ["src", "dst"]), cap=5)
+    rows = out.collect()
+    assert len(rows) == 5 * 4 // 2  # only the first 5 targets pair
+    assert all(r["common"] == 2 for r in rows)
+    assert pairs.count() == 0
