@@ -1026,6 +1026,54 @@ ORDER BY n_triangles DESC, node ASC LIMIT 20
 """])
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (round 6; ot_spark/graph.py::ppr_fixed):
+    teleport mass returns only to the seed list (doc_id % 97 == 0) —
+    the TrustRank/seed-expansion primitive.  Same integer fixed-point
+    and shuffle shape as pagerank; top-20 against a bit-equal
+    unrolled-CTE oracle."""
+    from ot_spark.graph import ppr_fixed, synthetic_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = ppr_fixed(edges, nodes, seeds, iters=3)
+    return out.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+def _ppr_oracle_sql(iters: int = 3, damping_pct: int = 85) -> str:
+    s = 10**12
+    parts = ["WITH ", _EDGES_CTE_SQL, f""",
+qn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents WHERE doc_id % 97 = 0),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+nq AS (SELECT doc_id AS node,
+              CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS isq
+       FROM documents),
+r0 AS (SELECT node, CAST(isq * ({s} // qn.c) AS BIGINT) AS rank
+       FROM nq CROSS JOIN qn)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT e.dst AS node, CAST(sum(r{k - 1}.rank // deg.d) AS BIGINT) AS s
+  FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nq.node,
+         CAST(nq.isq * ({100 - damping_pct} * ({s} // qn.c) // 100)
+              + ({damping_pct} * coalesce(s{k}.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nq CROSS JOIN qn LEFT JOIN s{k} ON s{k}.node = nq.node
+)""")
+    parts.append(f"""
+SELECT node, rank FROM r{iters} ORDER BY rank DESC, node ASC LIMIT 20
+""")
+    return "".join(parts)
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation host similarity (round 6; ot_spark/graph.py::
     cocitation): hosts linked by the same source pages, Jaccard over
@@ -3549,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "kcore": q_kcore,
         "cocitation": q_cocitation,
+        "ppr": q_ppr,
         "bloom_build": q_bloom_build,
         "bloom_probe": q_bloom_probe,
         "inverted_index": q_inverted_index,
@@ -4326,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": _label_prop_oracle_sql(),
         "kcore": _kcore_oracle_sql(),
         "cocitation": _cocitation_oracle_sql(),
+        "ppr": _ppr_oracle_sql(),
         "bloom_build": _bloom_build_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),

@@ -421,3 +421,59 @@ def cocitation(edges: DataFrame, cap: int = 20) -> DataFrame:
     return out.select(
         "a", "b", "common", "deg_a", "deg_b", jac.alias("jaccard")
     )
+
+
+def ppr_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    node_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002, public): teleport mass
+    returns only to the SEED set, so rank concentrates around the seeds
+    — "pages related to this trusted list", the TrustRank/seed-expansion
+    primitive every crawl quality pipeline uses.
+
+    Same fixed-point integer spec as pagerank_fixed (S = 1e12, DIV
+    steps, bit-exact oracle), with the teleport term seed-gated:
+
+        r0(v)      = S DIV |Q|            if v in Q else 0
+        r_{k+1}(v) = [v in Q] * (100-d) * (S DIV |Q|) DIV 100
+                     + d * sum(r_k(u) DIV out_deg(u)) DIV 100
+
+    Shuffle shape per round: identical to pagerank_fixed (one
+    co-partitioned join + one groupBy), plus a one-time broadcast
+    seed-membership flag on the node frame.  Nodes with rank 0 are
+    KEPT (the full vector is the fixed point); callers top-k.
+    """
+    q = seeds.select(F.col("node"))
+    nq = q.count()
+    base = (100 - damping_pct) * (SCALE // nq) // 100
+    n = nodes.select(F.col(node_col).alias("node")).join(
+        F.broadcast(q.select(F.col("node"), F.lit(1).alias("__isq"))),
+        "node", "left",
+    ).select("node", F.coalesce("__isq", F.lit(0)).alias("__isq"))
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.join(out_deg, "src")
+    ranks = n.select(
+        "node",
+        (F.col("__isq") * (SCALE // nq)).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = e.join(
+            ranks, e["src"] == ranks["node"], "inner"
+        ).select(F.col("dst"), F.expr("rank DIV __deg").alias("__c"))
+        sums = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            n.join(sums, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.col("__isq") * base
+                    + F.expr(f"{damping_pct} * coalesce(__s, 0L) DIV 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

@@ -1416,3 +1416,48 @@ def test_cocitation_hand_graph_and_cap(spark):
     assert len(rows) == 5 * 4 // 2  # only the first 5 targets pair
     assert all(r["common"] == 2 for r in rows)
     assert pairs.count() == 0
+
+
+def test_ppr_python_replay_and_seed_locality(spark):
+    """Personalized PageRank matches a pure-python integer replay on the
+    full sf0.001 node set (bit-equal), teleport mass reaches only the
+    seeds (every positive non-seed rank flows through links), and seeds
+    outrank the median non-seed — the locality property that makes PPR
+    a seed-expansion tool."""
+    from ot_spark.graph import ppr_fixed, synthetic_edges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    edges = synthetic_edges(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds_l = [i for i in range(n) if i % 97 == 0]
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in ppr_fixed(edges, nodes, seeds, iters=3).collect()
+    }
+    S, d = 10**12, 85
+    el = []
+    for i in range(n):
+        ts = [(3 * i + 1) % n, (7 * i + 2) % n, (13 * i + 3) % n][: 1 + i % 3]
+        el.extend((i, t) for t in ts)
+    deg: dict = {}
+    for u, _ in el:
+        deg[u] = deg.get(u, 0) + 1
+    nq = len(seeds_l)
+    base = (100 - d) * (S // nq) // 100
+    r = {i: (S // nq if i % 97 == 0 else 0) for i in range(n)}
+    for _ in range(3):
+        s: dict = {}
+        for u, v in el:
+            s[v] = s.get(v, 0) + r[u] // deg[u]
+        r = {
+            i: (base if i % 97 == 0 else 0) + d * s.get(i, 0) // 100
+            for i in range(n)
+        }
+    assert got == r
+    seed_ranks = [r[i] for i in seeds_l]
+    non_seed = sorted(r[i] for i in range(n) if i % 97 != 0)
+    assert min(seed_ranks) > non_seed[len(non_seed) // 2]
