@@ -126,6 +126,69 @@ def main() -> None:
         ),
     })
 
+    # r6c additions: communities/cores/ppr/co-citation, index compression,
+    # scheduling, bursts, layout, WARC sink
+    from ot_spark.cells import zorder_layout
+    from ot_spark.graph import cocitation, kcore, label_prop, ppr_fixed
+    from ot_spark.webtext.crawldiff import burst_hosts, synthetic_revisions
+    from ot_spark.webtext.invindex import delta_postings
+    from ot_spark.webtext.urltools import fetch_schedule
+    from ot_spark.webtext.warc import (
+        parse_warc_records as _pwr, synthetic_warc_blob as _swb,
+        write_warc_records,
+    )
+
+    seeds = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    frontier = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        "source",
+        (F.col("doc_id") % 100).cast("long").alias("priority"),
+        (1 + F.col("doc_id") % 3).cast("long").alias("rate"),
+    )
+    grid = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 360).cast("long").alias("xi"),
+        (F.col("doc_id") % 180).cast("long").alias("yi"),
+    )
+    ops.update({
+        "label_prop_3iter": lambda: run(
+            label_prop(synthetic_edges(docs, N_DOCS), nodes, iters=3)
+        ),
+        "kcore_3round": lambda: run(
+            kcore(synthetic_edges(docs, N_DOCS), k=3, rounds=3)
+        ),
+        "ppr_3iter": lambda: run(
+            ppr_fixed(synthetic_edges(docs, N_DOCS), nodes, seeds, iters=3)
+        ),
+        "cocitation": lambda: run(
+            cocitation(
+                synthetic_edges(docs, N_DOCS).select(
+                    "src", (F.col("dst") % 50).alias("dst")
+                ),
+                cap=20,
+            )
+        ),
+        "delta_postings": lambda: run(delta_postings(docs)),
+        "fetch_schedule": lambda: run(
+            fetch_schedule(frontier, host="source")
+        ),
+        "burst_hosts": lambda: run(
+            burst_hosts(synthetic_revisions(docs), F.col("doc_id") % 50)
+        ),
+        "zorder_layout": lambda: run(
+            zorder_layout(grid, F.col("xi"), F.col("yi"), bits=9)
+        ),
+        "warc_write": lambda: run(
+            write_warc_records(
+                _pwr(docs.select(
+                    "doc_id", _swb(F.col("doc_id")).alias("warc")
+                ))
+            )
+        ),
+    })
+
     only = os.environ.get("SPARK_GRAFT_WEBTEXT_OPS")
     if only:
         keep = {k.strip() for k in only.split(",")}
