@@ -334,3 +334,25 @@ def latest_wins_stream(revs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_stream(
+    stream: DataFrame, keys: list[str] | None = None, item_col: str = "url"
+) -> DataFrame:
+    """Streaming Bloom "seen-URL" registers: the batch builder's exact
+    aggregation (webtext/sketch.py::bloom_build) run as a streaming
+    aggregation — each micro-batch ORs its word contributions into the
+    per-key state, so the filter stays current across an unbounded
+    crawl feed and survives restarts (state is checkpointed).
+
+    State shape is the whole point: 8 BIGINTs (32 bytes) per key —
+    bounded by HOST cardinality, never URL count — and bit_or is
+    commutative/idempotent, so replayed micro-batches after a restart
+    cannot corrupt a register.  Emit in update/complete mode; the
+    downstream probe joins the latest register row per key exactly like
+    the batch bloom_probe.  Batch/stream parity on the same rows is
+    pinned by tests/test_round6.py.
+    """
+    from .webtext.sketch import bloom_build
+
+    return bloom_build(stream, keys or ["host"], item_col)

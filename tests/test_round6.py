@@ -1461,3 +1461,39 @@ def test_ppr_python_replay_and_seed_locality(spark):
     seed_ranks = [r[i] for i in seeds_l]
     non_seed = sorted(r[i] for i in range(n) if i % 97 != 0)
     assert min(seed_ranks) > non_seed[len(non_seed) // 2]
+
+
+def test_bloom_stream_equals_batch(spark, tmp_path):
+    """Streaming Bloom registers == batch bloom_build on the same rows:
+    the register aggregation is commutative/idempotent bit_or, so the
+    micro-batched stream must land on the identical 8-word state per
+    host regardless of batch boundaries."""
+    from ot_spark import streaming
+    from ot_spark.webtext.sketch import BLOOM_WORDS, bloom_build
+    from ot_spark.webtext.urltools import synthetic_url_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select(
+        (F.col("doc_id") % 7).cast("string").alias("host"),
+        synthetic_url_col(F.col("doc_id")).alias("url"),
+    )
+    src = str(tmp_path / "src")
+    rows.repartition(4).write.parquet(src)  # several files -> micro-batches
+    batch = {
+        r["host"]: tuple(r[f"w{w}"] for w in range(BLOOM_WORDS))
+        for r in bloom_build(spark.read.parquet(src), ["host"], "url").collect()
+    }
+    st = (
+        spark.readStream.schema("host string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming.run_to_memory(
+        streaming.bloom_stream(st, ["host"], "url"),
+        "bloom_stream_t", str(tmp_path / "ck"), complete=True,
+    )
+    got = {
+        r["host"]: tuple(r[f"w{w}"] for w in range(BLOOM_WORDS))
+        for r in spark.sql("SELECT * FROM bloom_stream_t").collect()
+    }
+    assert got == batch and len(got) == 7
