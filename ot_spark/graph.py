@@ -228,6 +228,13 @@ def label_prop(
     production runs add an ``observe()`` fixpoint check per round the
     way the connected-components operator does (webtext/dedup.py).
 
+    The neighbour list and each round's label frame are
+    ``localCheckpoint``-ed (the CC pattern): round k references round
+    k-1's labels twice (the count join and the carry-forward coalesce),
+    so an unrolled plan doubles per round — lineage truncation holds it
+    at ~4 exchanges per round, and the label frame is exactly the
+    node-sized intermediate a cluster run persists between rounds.
+
     Returns (node, label) after ``iters`` rounds.
     """
     und = (
@@ -240,7 +247,9 @@ def label_prop(
     )
     nbr = und.select(
         F.col("a").alias("v"), F.col("b").alias("u")
-    ).unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    ).localCheckpoint()
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).cast("long").alias("label")
     )
@@ -259,6 +268,7 @@ def label_prop(
         labels = (
             labels.join(win, labels["node"] == win["v"], "left")
             .select("node", F.coalesce("__w", "label").alias("label"))
+            .localCheckpoint()
         )
     return labels
 
@@ -276,6 +286,14 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     — each round is one degree aggregation plus two semi-joins, and the
     edge set only shrinks, so round cost is monotone non-increasing.
 
+    The per-round edge set is ``localCheckpoint``-ed (the CC operator's
+    pattern, webtext/dedup.py): round r's plan references round r-1's
+    edges THREE times (degree agg + both semi-join probes), so without
+    lineage truncation the physical plan grows 3^rounds — 150 exchanges
+    at rounds=3, unplannable at production depth.  Checkpointing holds
+    it at ~5 exchanges per round, and the checkpoint is exactly the
+    multi-TB intermediate a cluster run would persist anyway.
+
     Returns (node, degree) for survivors, degree as of the last peel.
     """
     e = (
@@ -285,19 +303,21 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = None
-    for _ in range(rounds):
+    for r in range(rounds):
         deg = (
-            e.select(F.col("a").alias("node"))
-            .unionByName(e.select(F.col("b").alias("node")))
+            e.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
+        if r == rounds - 1:
+            break  # the returned frame needs this round's deg only
         alive = deg.where(F.col("degree") >= k).select("node")
         e = e.join(
             alive, e["a"] == alive["node"], "left_semi"
-        ).join(alive, e["b"] == alive["node"], "left_semi")
+        ).join(alive, e["b"] == alive["node"], "left_semi").localCheckpoint()
     return deg.where(F.col("degree") >= k)
 
 
@@ -395,7 +415,12 @@ def cocitation(edges: DataFrame, cap: int = 20) -> DataFrame:
     # excluded by a < b anyway
     e = edges.select("src", "dst").distinct()
     rn = F.row_number().over(Window.partitionBy("src").orderBy("dst"))
-    capped = e.withColumn("__rn", rn).where(F.col("__rn") <= cap).drop("__rn")
+    # the capped edge set feeds the degree agg AND both self-join legs —
+    # checkpoint it once so the dedup+window pipeline runs once, not 3x
+    capped = (
+        e.withColumn("__rn", rn).where(F.col("__rn") <= cap).drop("__rn")
+        .localCheckpoint()
+    )
     deg = capped.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a = capped.select(F.col("src"), F.col("dst").alias("a"))
     b = capped.select(F.col("src"), F.col("dst").alias("b"))
