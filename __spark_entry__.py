@@ -63,6 +63,36 @@ def _off_boundary_col() -> F.Column:
 
 # --------------------------------------------------------------- queries
 
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, fan: bool = False
+) -> DataFrame:
+    """Scan, optionally with a parallelism floor (guide §2.5 "one huge
+    unsplittable file": repartition immediately after the read).
+
+    The gate fixtures are single-row-group parquet files — parquet can
+    only split at row-group boundaries, so every per-document map stage
+    (tokenize, shingle, PQ encode, ...) would execute as ONE task on
+    local[32], leaving 31 cores idle (measured: repetition_full 18.7s ->
+    2.1s at 10x sf0.1).  ``fan=True`` adds ONE round-robin repartition
+    right after the read when the planned scan is narrower than the
+    session's parallelism; on a production layout (many files / many row
+    groups) the floor is already met and the plan is untouched.
+
+    ``fan`` is OPT-IN per query because the exchange has a fixed cost
+    (~0.2-0.5s of task overhead + one move of the table at gate scale):
+    it pays for itself exactly where per-row compute dominates the scan
+    stage (tokenize/shingle/PQ-encode-heavy queries — measured 2-9x
+    there) and is a pure loss for the cheap/shuffle-dominated queries
+    (the iterative graph ops' per-round task fan-out made pagerank 2x
+    SLOWER with a blanket floor)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan:
+        floor = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < floor:
+            df = df.repartition(floor)
+    return df
+
+
 def q_complex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 ComplexElementsFilter over a real attrs map (filter.rs:184-273)."""
     df = pagesview.pages_df(spark, sf_dir)
@@ -158,7 +188,7 @@ def q_minmax_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash over documents (training-data op)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
         .agg(
@@ -171,7 +201,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality ratios per doc (text-analysis op)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
@@ -187,7 +217,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation query a pretraining-data run executes."""
     from ot_spark.webtext.curate import corpus_clean
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return corpus_clean(docs)
 
 
@@ -240,7 +270,7 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     the 500-row collect + numpy Lloyd eight times."""
     from ot_spark.webtext.simsearch import train_pq_codebooks_portable
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings", fan=True)
     key = ("pq", sf_dir)
     if key not in _TRAIN_CACHE:
         _TRAIN_CACHE[key] = train_pq_codebooks_portable(
@@ -412,9 +442,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(emb.where("vec_id = 0").first().embedding)
     dots = _round_half_away_np(cents @ np.asarray(qvec, dtype=np.float64), 9)
     probes = sorted(range(len(cents)), key=lambda c: (-dots[c], c))[:3]
-    cand = with_ivf_cell(emb, cents, round_p=9).where(
-        F.col("ivf_cell").isin([int(c) for c in probes])
-    )
+    # Codegen-stage barrier (guide §4.4 shape): an identity Arrow UDF,
+    # marked nondeterministic so the probe filter is NOT pushed below it.
+    # Without it the coarse-assign dots (8x64 terms), the PQ encode
+    # (32x16 terms) and the ADC tables fuse into ONE whole-stage method
+    # that exceeds the JVM's 64KB compile limit — janino fails and the
+    # WHOLE stage runs interpreted (measured 2.2x slower than the two
+    # compiled halves this barrier produces).  Only the 4-byte cell id
+    # crosses the boundary.
+    _ident = F.udf(lambda x: x, "int", useArrow=True).asNondeterministic()
+    cand = with_ivf_cell(emb, cents, round_p=9).withColumn(
+        "ivf_cell", _ident(F.col("ivf_cell"))
+    ).where(F.col("ivf_cell").isin([int(c) for c in probes]))
     return pq_adc_topk(with_pq_codes(cand, books), qvec, books, k_out=10)
 
 
@@ -427,7 +466,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl pipeline."""
     from ot_spark.webtext.urltools import url_dedup
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _read(spark, sf_dir, "documents")
     return url_dedup(df)
 
 
@@ -443,7 +482,7 @@ def q_hll_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import hll_registers
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     urls = docs.select(
         F.concat(
             F.lit("site"), (F.col("doc_id") % 50).cast("string"),
@@ -495,7 +534,7 @@ def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import bloom_build
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     urls = docs.select(
         F.concat(
             F.lit("site"), (F.col("doc_id") % 50).cast("string"),
@@ -524,7 +563,7 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import bloom_build, bloom_probe
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     host = F.concat(
         F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
     )
@@ -593,7 +632,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser it checks."""
     from ot_spark.webtext.urltools import robots_filter, synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     urls = docs.select(
         "doc_id", synthetic_url_col(F.col("doc_id")).alias("url")
     )
@@ -742,7 +781,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised via encode(page, UTF-8)."""
     from ot_spark.webtext.htmltext import extract_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     p = _HTML_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), F.col("source"), F.lit(p[1]), F.col("source"),
@@ -775,7 +814,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one map-only pass plus the explode, no shuffles, no UDFs."""
     from ot_spark.webtext.htmltext import extract_links
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     p = _LINK_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
@@ -826,7 +865,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components shuffle shape at 10^12-edge scale."""
     from ot_spark.graph import pagerank_fixed, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     edges = synthetic_edges(docs, n)
     ranks = pagerank_fixed(
@@ -893,7 +932,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches bit-for-bit."""
     from ot_spark.graph import bfs_depth, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     edges = synthetic_edges(docs, n)
     seeds = docs.where(F.col("doc_id") % 97 == 0).select(
@@ -932,7 +971,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row max broadcasts — the published algorithm's shuffle floor."""
     from ot_spark.graph import hits_fixed, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     edges = synthetic_edges(docs, n)
     out = hits_fixed(
@@ -986,7 +1025,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra on BIGINTs: bit-exact across engines."""
     from ot_spark.graph import synthetic_edges, triangles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     out = triangles(synthetic_edges(docs, n))
     return out.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
@@ -1034,7 +1073,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle."""
     from ot_spark.graph import ppr_fixed, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     edges = synthetic_edges(docs, n)
     nodes = docs.select(F.col("doc_id").alias("node"))
@@ -1083,7 +1122,7 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs, the one float rounds to 6 dp — bit-stable oracle."""
     from ot_spark.graph import cocitation, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     hosted = synthetic_edges(docs, n).select(
         "src", (F.col("dst") % 50).alias("dst")
@@ -1122,7 +1161,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so the unrolled-CTE oracle matches bit-for-bit."""
     from ot_spark.graph import label_prop, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     edges = synthetic_edges(docs, n)
     return label_prop(
@@ -1169,7 +1208,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled-CTE oracle is bit-exact."""
     from ot_spark.graph import kcore, synthetic_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     n = docs.count()
     return kcore(synthetic_edges(docs, n), k=3, rounds=3)
 
@@ -1211,7 +1250,7 @@ def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings", fan=True)
     ck, bk = ("ivf_prod", sf_dir), ("pq_prod", sf_dir)
     if ck not in _TRAIN_CACHE:
         _TRAIN_CACHE[ck] = train_ivf_centroids(
@@ -1292,7 +1331,7 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id) — the data-mixing quota primitive."""
     from ot_spark.webtext.curate import stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return stratified_sample(docs, quota=10)
 
 
@@ -1311,7 +1350,7 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing bin/offset assignment (512-token bins per source)."""
     from ot_spark.webtext.curate import pack_bins
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return pack_bins(docs, budget=512)
 
 
@@ -1320,7 +1359,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     span with the held-out set (doc_id % 10 == 0 plays the benchmark)."""
     from ot_spark.webtext.dedup import contamination_flags
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return contamination_flags(
         docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0")
     )
@@ -1348,7 +1387,7 @@ def q_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Gopher repetition panel: top/dup n-gram fractions, n=2..4."""
     from ot_spark.webtext.textstats import with_repetition_full
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return with_repetition_full(docs).select(
         "doc_id",
         "top_2gram_frac", "dup_2gram_frac",
@@ -1400,7 +1439,7 @@ def _total_tokens(spark: SparkSession, sf_dir: str) -> int:
 
     key = ("ntok", sf_dir)
     if key not in _TRAIN_CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _read(spark, sf_dir, "documents", fan=True)
         _TRAIN_CACHE[key] = docs.select(
             F.explode(tokens_col(F.col("text"))).alias("t")
         ).count()
@@ -1411,7 +1450,7 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM perplexity proxy (lam=0.7)."""
     from ot_spark.webtext.curate import bigram_logprob
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return bigram_logprob(docs, total_tokens=_total_tokens(spark, sf_dir))
 
 
@@ -1448,7 +1487,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy per document (CCNet-style scoring)."""
     from ot_spark.webtext.curate import unigram_logprob
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return unigram_logprob(docs, total_tokens=_total_tokens(spark, sf_dir))
 
 
@@ -1475,7 +1514,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percentile sketch + map-side compare, parity pytest-pinned)."""
     from ot_spark.webtext.curate import ccnet_buckets
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return ccnet_buckets(docs, total_tokens=_total_tokens(spark, sf_dir))
 
 
@@ -1515,7 +1554,7 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip are all checked against an independent derivation."""
     from ot_spark.webtext.warc import parse_warc_records, synthetic_warc_blob
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
     )
@@ -1555,7 +1594,7 @@ def q_warc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc_records, synthetic_warc_blob, write_warc_records,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     blobs = docs.select(
         "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
     )
@@ -1609,7 +1648,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.htmltext import extract_links
     from ot_spark.webtext.urltools import host_col, synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     p = _LINK_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
@@ -1671,7 +1710,7 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARITHMETICALLY from doc_id, independent of the regex pipeline."""
     from ot_spark.webtext.htmltext import anchor_term_counts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     p = _ANCHOR_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
@@ -1725,7 +1764,7 @@ def q_crawl_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         CRAWL_EPOCH, DAY, latest_snapshot, synthetic_revisions,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return latest_snapshot(synthetic_revisions(docs), CRAWL_EPOCH + 6 * DAY)
 
 
@@ -1737,7 +1776,7 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         CRAWL_EPOCH, DAY, crawl_delta, synthetic_revisions,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     return crawl_delta(
         synthetic_revisions(docs), CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY
     )
@@ -1814,7 +1853,7 @@ def q_incremental_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         CRAWL_EPOCH, DAY, crawl_delta, synthetic_revisions,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     delta = crawl_delta(
         synthetic_revisions(docs), CRAWL_EPOCH + 4 * DAY, CRAWL_EPOCH + 12 * DAY
     )
@@ -1854,7 +1893,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per source (distributed term weighting)."""
     from ot_spark.webtext.curate import tfidf_top_terms
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return tfidf_top_terms(docs, n_docs=docs.count(), k=5)
 
 
@@ -1887,7 +1926,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting arrays element-for-element."""
     from ot_spark.webtext.invindex import inverted_index
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return inverted_index(docs, posting_cap=10)
 
 
@@ -1948,7 +1987,7 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, so the window-SQL oracle matches bit-for-bit."""
     from ot_spark.webtext.urltools import fetch_schedule
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
     hostnum = (d % 50).cast("long")
     frontier = docs.select(
@@ -2000,7 +2039,7 @@ def q_burst_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     day) cells, never pages.  Pure integer -> bit-exact oracle."""
     from ot_spark.webtext.crawldiff import burst_hosts, synthetic_revisions
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     revs = synthetic_revisions(docs)
     host = F.concat(
         F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
@@ -2042,7 +2081,7 @@ def q_delta_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB lag-window replay, bit-exact."""
     from ot_spark.webtext.invindex import delta_postings
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return delta_postings(docs, posting_cap=10)
 
 
@@ -2083,7 +2122,7 @@ def q_host_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same histogram algebra bit-for-bit."""
     from ot_spark.webtext.textstats import exact_percentiles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     v = docs.select(
         F.concat(
             F.lit("site"), (F.col("doc_id") % 50).cast("string"),
@@ -2122,7 +2161,7 @@ def q_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import cms_build
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     urls = docs.select(synthetic_url_col(F.col("doc_id")).alias("url"))
     return cms_build(urls, "url")
 
@@ -2141,7 +2180,7 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import cms_build, cms_estimate
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     urls = docs.select(synthetic_url_col(F.col("doc_id")).alias("url"))
     sketch = cms_build(urls, "url")
     probes = urls.distinct()
@@ -2183,7 +2222,7 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINTs."""
     from ot_spark.webtext.invindex import pmi_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     out = pmi_pairs(docs, min_pair_count=2)
     return out.orderBy(
         F.desc("n_xy"), F.asc("x"), F.asc("y")
@@ -2218,7 +2257,7 @@ def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     backslash-escape drift) over hosts re-derived arithmetically."""
     from ot_spark.webtext.urltools import registrable_domain_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     d = F.col("doc_id")
     host = F.concat(
         F.when(d % 6 == 1, F.lit("a.b."))
@@ -2325,7 +2364,7 @@ def q_split_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (geotiff.rs:561-568): |ele - (lag+lead)/2| >= t over partitioned seqs."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     ele = (F.col("doc_id") * 37 % 200) / F.lit(2.0)
     w = Window.partitionBy(F.col("doc_id") % 16).orderBy("doc_id")
     df = docs.select("doc_id", ele.alias("ele"))
@@ -2344,7 +2383,7 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (portable md5-string mode) over documents."""
     from ot_spark.webtext.dedup import with_minhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     sigs = with_minhash(docs, k=4, shingle_n=3, hash_mode="md5")
     return sigs.select(
         "doc_id",
@@ -2361,7 +2400,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs, minhash_candidate_pairs, with_minhash,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    docs = _read(spark, sf_dir, "documents", fan=True).where("doc_id < 2000")
     sigs = with_minhash(docs, k=8, shingle_n=3, hash_mode="md5")
     cand = minhash_candidate_pairs(sigs, bands=4, max_bucket=50)
     return jaccard_pairs(docs, cand, shingle_n=3, threshold=0.2)
@@ -2371,7 +2410,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (length / alpha / punct / stopword ratios)."""
     from ot_spark.webtext.textstats import with_quality
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return with_quality(docs).select(
         "doc_id", "n_tokens", "alpha_ratio", "punct_ratio", "stopword_ratio"
     )
@@ -2381,20 +2420,19 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language id (argmax, alphabetical tie-break)."""
     from ot_spark.webtext.textstats import with_langid
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return with_langid(docs).select("doc_id", "lang_pred")
 
 
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding."""
-    from ot_spark.webtext.simsearch import cosine_col
+    from ot_spark.webtext.simsearch import cosine_lit
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     qvec = list(emb.where("vec_id = 0").first().embedding)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
     scored = emb.select(
         "vec_id",
-        F.round(cosine_col(F.col("embedding").cast("array<double>"), q), 4).alias("score"),
+        F.round(cosine_lit("embedding", qvec), 4).alias("score"),
     )
     # order on the ROUNDED score (same tie-break as the oracle)
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
@@ -2407,7 +2445,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bounded subset: same-vocabulary word-salad docs are all mutually
     # near in simhash space, so pair counts grow quadratically
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 500")
+    docs = _read(spark, sf_dir, "documents").where("doc_id < 500")
     sigs = with_simhash(docs, hash_mode="md5")
     return simhash_near_pairs(sigs, max_hamming=4, n_bits=60, max_bucket=200)
 
@@ -2417,7 +2455,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully oracle-checked; the xxhash64 production mode is pytest-pinned)."""
     from ot_spark.webtext.textstats import with_fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return with_fingerprint(docs, hash_mode="md5").select(
         "doc_id", "fingerprint_min", "content_hash"
     )
@@ -2428,7 +2466,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction) — map-side Column algebra, zero shuffles."""
     from ot_spark.webtext.textstats import with_repetition
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return with_repetition(docs).select(
         "doc_id", "n_bigrams", "top_bigram_n", "top_bigram_frac",
         "dup_token_frac", "keep_repetition",
@@ -2470,7 +2508,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucketed by span, capped — no all-pairs anywhere)."""
     from ot_spark.webtext.dedup import substring_dup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents", fan=True)
     return substring_dup_pairs(docs, window=8, max_bucket=50)
 
 
@@ -2527,7 +2565,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _read(spark, sf_dir, "documents", fan=True)
         .select("doc_id", injected.alias("text"))
     )
     out = with_pii_scrub(docs)
@@ -2574,7 +2612,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_webtext.py recall assertions)."""
     from ot_spark.webtext.simsearch import hyperplanes, lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings")
     first = emb.where("vec_id = 0").first()
     planes = hyperplanes(len(first.embedding), n_planes=4)
     return lsh_topk(emb, list(first.embedding), planes, k=10, multiprobe=2)
@@ -2673,7 +2711,7 @@ def q_filter_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_remove_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 MetadataRemover (modify.rs:6-31): zero provenance columns, keep
     everything else untouched."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read(spark, sf_dir, "documents")
     df = docs.select(
         "doc_id",
         (F.col("doc_id") % 5).cast("int").alias("version"),
@@ -2797,7 +2835,7 @@ def q_splitting_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = f"/tmp/ot_gate_{os.getpid()}/splitsink"
     shutil.rmtree(base, ignore_errors=True)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
 
     def key(prefix: str, expr: F.Column) -> F.Column:
         return F.concat(F.lit(prefix), F.lpad(expr.cast("string"), 12, "0"))
@@ -2871,7 +2909,7 @@ def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bounded subset keeps the md5-mode bench cost predictable at sf0.1
     # (covers the whole table at the sf0.01 correctness gate)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    docs = _read(spark, sf_dir, "documents", fan=True).where("doc_id < 2000")
     sigs = with_minhash(docs, k=8, shingle_n=3, hash_mode="md5")
     return minhash_candidate_pairs(sigs, bands=4, max_bucket=50)
 
@@ -2881,7 +2919,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify -> min-id representative."""
     from ot_spark.webtext.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    docs = _read(spark, sf_dir, "documents", fan=True).where("doc_id < 2000")
     out = minhash_dedup(
         docs, k=8, bands=4, shingle_n=3, threshold=0.5, hash_mode="md5"
     )
@@ -2893,7 +2931,7 @@ def q_minhash_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-label propagation; oracle = recursive-CTE transitive closure)."""
     from ot_spark.webtext.dedup import minhash_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 2000")
+    docs = _read(spark, sf_dir, "documents", fan=True).where("doc_id < 2000")
     out = minhash_dedup(
         docs, k=8, bands=4, shingle_n=3, threshold=0.5, hash_mode="md5",
         clustering="cc",
@@ -2914,7 +2952,7 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids_portable, with_ivf_cell,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings", fan=True)
     cents = _ivf_cents(emb, sf_dir)
     return (
         with_ivf_cell(emb, cents, round_p=9)
@@ -2936,7 +2974,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = [r.doc_id for r in
-           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           _read(spark, sf_dir, "documents")
            .where("doc_id < 100").select("doc_id").collect()]
     rows = [
         (int(i), make_fake_image_portable(8 + int(i) % 5, 6 + int(i) % 3, seed=int(i)))
@@ -2975,7 +3013,7 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within their sign-signature bucket, capped) then cosine-verified."""
     from ot_spark.webtext.simsearch import embedding_near_pairs, hyperplanes
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(spark, sf_dir, "embeddings", fan=True)
     planes = hyperplanes(64, n_planes=2)
     return embedding_near_pairs(emb, planes, threshold=0.4, max_bucket=400)
 
@@ -3087,7 +3125,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = [r.doc_id for r in
-           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           _read(spark, sf_dir, "documents")
            .where("doc_id < 100").select("doc_id").collect()]
     rows = [
         (int(i), make_fake_audio_portable(8000, 4000 + int(i) % 7 * 500, seed=int(i)))
@@ -3135,7 +3173,7 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ids = [r.doc_id for r in
-           spark.read.parquet(f"{sf_dir}/documents.parquet")
+           _read(spark, sf_dir, "documents")
            .where("doc_id < 100").select("doc_id").collect()]
     rows = [
         (int(i), make_fake_video_portable(3 + int(i) % 4, seed=int(i)))

@@ -93,8 +93,16 @@ def attrs_col() -> Column:
 
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents parquet -> derived pages frame with doc_id/lat/lon/attrs."""
+    """documents parquet -> derived pages frame with doc_id/lat/lon/attrs.
+
+    Scan parallelism floor: the fixture is a single-row-group parquet
+    (unsplittable — every map stage above it would be ONE task), so
+    repartition once after the read when the planned scan is narrower
+    than the session's cores (guide §2.5); no-op on production layouts."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    floor = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < floor:
+        docs = docs.repartition(floor)
     return docs.withColumns(
         {"lat": lat_col(), "lon": lon_col(), "attrs": attrs_col()}
     )

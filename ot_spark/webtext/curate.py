@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import TOKENS_COL, with_tokens
-from .textstats import LANG_STOPWORDS, bigrams_col, quality_features
+from .textstats import LANG_STOPWORDS
 
 
 def clean_features(
@@ -45,51 +45,36 @@ def clean_features(
     Columns: doc_id, __hash, n_tokens, stopword_ratio, lang_pred,
     dup_token_frac (rounded), __top_frac / __dup_frac (unrounded, for the
     gate compares)."""
+    from .textstats import clean_stats_col
+
     tok = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
 
-    # -- langid scores: each is referenced twice by the argmax chain, so
-    # they must be bound columns (see with_langid) --
-    score_cols = {
-        f"__sc_{lang}": F.size(F.filter(toks, lambda t: t.isin(words)))
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    feats = quality_features(F.col(text_col), tokens=toks)
-
-    # repetition: longest equal run in the sorted bigram array (see
-    # with_repetition — duplicated here so the fold shares this stage's
-    # token binding instead of re-tokenizing)
-    bg = bigrams_col(toks)
-    run_best = F.aggregate(
-        F.array_sort(bg),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, s: F.struct(
-            s.alias("prev"),
-            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
-    scored = tok.withColumns(score_cols).withColumns(
+    # ONE Arrow pass computes every integer feature (per-language stopword
+    # hits, top-bigram multiplicity, distinct-token count) — the HOF
+    # filter/fold twins it replaces were interpreted per element (see
+    # textstats.repetition_stats_col).  n_tokens and every ratio/round
+    # stay the same JVM expressions, so outputs are bit-identical.
+    scored = tok.withColumn(
+        "__cs", clean_stats_col(LANG_STOPWORDS)(toks)
+    ).withColumns(
         {
-            "n_tokens": feats["n_tokens"],
-            "stopword_ratio": feats["stopword_ratio"],
-            "__top_n": run_best,
+            "n_tokens": F.size(toks).cast("long"),
+            "stopword_ratio": F.round(
+                F.col("__cs.sc_en") / F.greatest(F.size(toks), F.lit(1)), 6
+            ),
+            "__top_n": F.col("__cs.top2"),
             "__n_bg": F.greatest(F.size(toks) - 1, F.lit(0)),
-            "__n_distinct": F.size(F.array_distinct(toks)),
+            "__n_distinct": F.col("__cs.nd"),
             "__hash": F.md5(F.col(text_col)),
         }
     )
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(LANG_STOPWORDS):
-        cond = F.col(f"__sc_{lang}") > best_score
+        cond = F.col(f"__cs.sc_{lang}") > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, F.col(f"__sc_{lang}")).otherwise(best_score)
+        best_score = F.when(cond, F.col(f"__cs.sc_{lang}")).otherwise(best_score)
 
     n_toks = F.col("n_tokens")
     top_frac = F.when(

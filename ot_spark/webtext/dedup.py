@@ -80,6 +80,48 @@ def _hash_shingle(s: Column, seed: int, mode: str) -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, 16)
 
 
+def _minhash_md5_col(k: int, shingle_n: int) -> "F.udf":
+    """Arrow-batched twin of shingles_col + minhash_signature in md5 mode:
+    distinct word ``shingle_n``-grams (short docs -> the whole token
+    sequence, empty docs -> [""]), k per-seed min first-16-hex-md5 values.
+
+    hashlib.md5 hexdigest == JVM md5() == the oracle's md5(); Python str
+    min over lowercase hex == UTF8String/least binary min — so each
+    signature value is byte-identical to the fold it replaces.  The fold
+    form below remains the xxhash production path; md5 mode exists for
+    oracle portability and was interpreted-HOF bound (the per-shingle
+    k-seed md5 chain dominated q_minhash at 10x sf0.1)."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def mh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        seeds = [f"{i}#".encode() for i in range(k)]
+        for col in it:
+            vals = []
+            for toks in col:
+                t = list(toks) if toks is not None else []
+                if not t:
+                    spans = {""}
+                else:
+                    spans = {
+                        " ".join(t[i : i + shingle_n])
+                        for i in range(max(len(t) - shingle_n, 0) + 1)
+                    }
+                mins = ["z" * 16] * k
+                for s in spans:
+                    sb = s.encode()
+                    for i in range(k):
+                        h = hashlib.md5(seeds[i] + sb).hexdigest()[:16]
+                        if h < mins[i]:
+                            mins[i] = h
+                vals.append(mins)
+            yield pd.Series(vals)
+
+    return mh.asNondeterministic()
+
+
 def minhash_signature(
     shingles: Column, k: int = 16, hash_mode: str = "xxhash"
 ) -> Column:
@@ -110,6 +152,12 @@ def with_minhash(
     hash_mode: str = "xxhash",
     out_col: str = "minhash",
 ) -> DataFrame:
+    if hash_mode == "md5":
+        # tokenizer stays a JVM regexp (evaluated once, inside the Arrow
+        # input projection); shingling + hashing move to one Arrow batch
+        return df.withColumn(
+            out_col, _minhash_md5_col(k, shingle_n)(tokens_col(F.col(text_col)))
+        )
     tok = with_tokens(df, text_col)
     sh = shingles_col(F.col(TOKENS_COL), shingle_n)
     return tok.withColumn(out_col, minhash_signature(sh, k, hash_mode)).drop(TOKENS_COL)
@@ -538,6 +586,34 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def _distinct_spans_col(window: int) -> "F.udf":
+    """Arrow-batched twin of
+    array_distinct(filter(transform(toks, i -> concat_ws(' ',
+    slice(toks, i+1, window))), i <= size - window)): the distinct exact
+    ``window``-token spans of a document (docs shorter than ``window``
+    yield none).  Tokens are [A-Za-z0-9]+ so ' '.join is collision-free
+    and byte-identical to concat_ws; only span order can differ, and
+    every consumer aggregates or joins, so results are unchanged."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def spans(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            out = []
+            for toks in col:
+                t = list(toks) if toks is not None else []
+                if len(t) < window:
+                    out.append([])
+                else:
+                    out.append(list({
+                        " ".join(t[i : i + window])
+                        for i in range(len(t) - window + 1)
+                    }))
+            yield pd.Series(out)
+
+    return spans.asNondeterministic()
+
+
 def substring_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -571,16 +647,11 @@ def substring_dup_pairs(
     Both modes return identical pairs (the verify filter makes "hash"
     exact), so the gate runs the production path against the span-join
     oracle."""
-    tok = with_tokens(df.select(id_col, text_col), text_col)
-    toks = F.col(TOKENS_COL)
-    wins = F.filter(
-        F.transform(
-            toks, lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, window))
-        ),
-        lambda _s, i: i <= F.size(toks) - window,
-    )
-    w = tok.select(
-        F.col(id_col), F.explode(F.array_distinct(wins)).alias("win")
+    w = df.select(
+        F.col(id_col),
+        F.explode(
+            _distinct_spans_col(window)(tokens_col(F.col(text_col)))
+        ).alias("win"),
     )
     if key_mode == "hash":
         w = w.withColumn("wk", F.xxhash64("win"))
@@ -633,16 +704,11 @@ def contamination_flags(
     no corpus-vs-corpus shuffle anywhere."""
 
     def _windows(df: DataFrame) -> DataFrame:
-        tok = with_tokens(df.select(id_col, text_col), text_col)
-        toks = F.col(TOKENS_COL)
-        wins = F.filter(
-            F.transform(
-                toks, lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, window))
-            ),
-            lambda _s, i: i <= F.size(toks) - window,
-        )
-        return tok.select(
-            F.col(id_col), F.explode(F.array_distinct(wins)).alias("win")
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                _distinct_spans_col(window)(tokens_col(F.col(text_col)))
+            ).alias("win"),
         )
 
     ev = _windows(eval_df).select("win").distinct()

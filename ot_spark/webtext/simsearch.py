@@ -37,6 +37,88 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Unrolled twins of the fold expressions above.  Higher-order functions
+# (aggregate / zip_with / transform) are CodegenFallback in Spark — every
+# element step pays interpreted expression evaluation — while a
+# left-associated chain of scalar Add/Multiply nodes whole-stage-codegens.
+# The chains below reproduce the folds' exact evaluation order
+# (((0.0 + t0) + t1) + ...), so results are bit-identical; only the
+# execution engine changes (measured ~2.5x on the ivfpq gate at 10x
+# sf0.1).  Each chain is built as ONE SQL string handed to a single
+# F.expr() — composing it from Column operators costs ~4 py4j round
+# trips per term (measured: 2s of pure driver time for 8x64 terms).
+# The fold forms remain the general path for runtime-length arrays
+# (minhash signatures); the unrolled forms require a statically known dim.
+
+def _elem_sql(vec: str, j: int) -> str:
+    # 0-based SQL indexing; per-element cast (float -> double is exact,
+    # and for array<double> inputs the cast is a no-op)
+    return f"CAST(`{vec}`[{j}] AS DOUBLE)"
+
+
+def _sum_sql(terms) -> str:
+    acc = "0.0D"
+    for t in terms:
+        acc = f"({acc} + {t})"
+    return acc
+
+
+def _litd(c: float) -> str:
+    # repr() round-trips doubles; Spark's parser reads the 'D' literal
+    # with Double.parseDouble, so the JVM sees the identical bits
+    return f"({float(c)!r}D)"
+
+
+def _dot_lit(vec: str, vals) -> Column:
+    """((0.0 + v[0]*c0) + v[1]*c1) + ... — the codegen twin of
+    _dot(col(vec), array(lits))."""
+    return F.expr(_sum_sql(
+        f"({_elem_sql(vec, j)} * {_litd(c)})" for j, c in enumerate(vals)
+    ))
+
+
+def _l2sq_lit(vec: str, vals, offset: int = 0) -> Column:
+    """Unrolled squared L2 against literals, reading ``vec`` elements
+    starting at ``offset`` — the codegen twin of
+    _l2sq(slice(col(vec), offset+1, len(vals)), array(lits))."""
+
+    def term(j: int, c: float) -> str:
+        d = f"({_elem_sql(vec, offset + j)} - {_litd(c)})"
+        return f"({d} * {d})"
+
+    return F.expr(_sum_sql(term(j, float(c)) for j, c in enumerate(vals)))
+
+
+def _norm_sq_sql(vec: str, dim: int) -> str:
+    return _sum_sql(
+        f"({_elem_sql(vec, j)} * {_elem_sql(vec, j)})" for j in range(dim)
+    )
+
+
+def cosine_lit(vec: str, query_vec: list[float]) -> Column:
+    """Unrolled cosine against a literal query.  norm(q) is the same
+    left-assoc fold over literals — ConstantFolding evaluates it with the
+    identical arithmetic the interpreted fold would."""
+    q = [float(x) for x in query_vec]
+    dot = _sum_sql(
+        f"({_elem_sql(vec, j)} * {_litd(c)})" for j, c in enumerate(q)
+    )
+    nq = _sum_sql(f"({_litd(x)} * {_litd(x)})" for x in q)
+    return F.expr(
+        f"({dot}) / (SQRT({_norm_sq_sql(vec, len(q))}) * SQRT({nq}))"
+    )
+
+
+def cosine_cols(a: str, b: str, dim: int) -> Column:
+    """Unrolled cosine between two bound array columns of known dim."""
+    dot = _sum_sql(
+        f"({_elem_sql(a, j)} * {_elem_sql(b, j)})" for j in range(dim)
+    )
+    return F.expr(
+        f"({dot}) / (SQRT({_norm_sq_sql(a, dim)}) * SQRT({_norm_sq_sql(b, dim)}))"
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -45,9 +127,8 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
-        id_col, F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("score")
+        id_col, F.round(cosine_lit(vec_col, query_vec), 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -57,13 +138,13 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim).astype(np.float64)
 
 
-def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
+def lsh_signature_col(vec: str, planes: np.ndarray) -> Column:
     """Packed sign-bit signature as a long — pure JVM arithmetic (one dot
-    product per plane, n_planes <= 63)."""
+    product per plane, n_planes <= 63).  Each dot is the unrolled codegen
+    chain (see _dot_lit) — same fold order, whole-stage compiled."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(_dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(_dot_lit(vec, p.tolist()) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = sig + F.shiftleft(bit, i)
@@ -76,9 +157,7 @@ def with_lsh_bucket(
     vec_col: str = "embedding",
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
-    return df.withColumn(
-        out_col, lsh_signature_col(F.col(vec_col).cast("array<double>"), planes)
-    )
+    return df.withColumn(out_col, lsh_signature_col(vec_col, planes))
 
 
 def _sig_of(query_vec: list[float], planes: np.ndarray) -> int:
@@ -149,7 +228,7 @@ def embedding_near_pairs(
         F.col("lsh_bucket"), F.col(id_col).alias("b"), F.col("__v").alias("vb")
     )
     pairs = a.join(bb, "lsh_bucket").where(F.col("a") < F.col("b"))
-    cos = cosine_col(F.col("va"), F.col("vb"))
+    cos = cosine_cols("va", "vb", int(planes.shape[1]))
     return (
         pairs.where(cos >= threshold)
         .select("a", "b", F.round(cos, 6).alias("cosine"))
@@ -255,20 +334,20 @@ def with_ivf_cell(
     no UDF; n_centroids is small by construction).  ``round_p`` rounds each
     dot before the argmax — the oracle-portable mode (see
     ``train_ivf_centroids_portable``)."""
-    vec = F.col(vec_col).cast("array<double>")
     dots = [
-        _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias(f"__d{i}")
+        _dot_lit(vec_col, c.tolist() if hasattr(c, "tolist") else c).alias(f"__d{i}")
         for i, c in enumerate(centroids)
     ]
     if round_p is not None:
         dots = [F.round(d, round_p).alias(f"__d{i}") for i, d in enumerate(dots)]
     tmp = df.select("*", *dots)
-    best = F.lit(0)
-    best_val = F.col("__d0")
-    for i in range(1, len(centroids)):
-        cond = F.col(f"__d{i}") > best_val
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_val = F.when(cond, F.col(f"__d{i}")).otherwise(best_val)
+    # argmax with ties -> lowest index, as array_position of the max: the
+    # when-chain form references its accumulator twice per step, so a
+    # filter pushed through this projection inlines a 2^k-node tree (69s
+    # of planning on the ivfpq gate); this form is linear in k and uses
+    # the same first-wins `>` comparison, so results are identical.
+    arr = F.array(*[F.col(f"__d{i}") for i in range(len(centroids))])
+    best = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
     return tmp.withColumn(out_col, best).drop(*[f"__d{i}" for i in range(len(centroids))])
 
 
@@ -372,26 +451,25 @@ def with_pq_codes(
     algebra (slice + zip_with fold + when-chain), no UDF.  Ties -> lowest
     code (strict < in the chain)."""
     m, k, sub = books.shape
-    vec = F.col(vec_col).cast("array<double>")
     out = df
     dist_cols = []
     for s in range(m):
-        sl = F.slice(vec, s * sub + 1, sub)
         for c in range(k):
-            lit = F.array(*[F.lit(float(x)) for x in books[s, c]])
             dist_cols.append(
-                F.round(_l2sq(sl, lit), round_p).alias(f"__p{s}_{c}")
+                F.round(
+                    _l2sq_lit(vec_col, books[s, c].tolist(), offset=s * sub),
+                    round_p,
+                ).alias(f"__p{s}_{c}")
             )
     out = out.select("*", *dist_cols)
     code_cols = {}
     for s in range(m):
-        best = F.lit(0)
-        best_val = F.col(f"__p{s}_0")
-        for c in range(1, k):
-            cond = F.col(f"__p{s}_{c}") < best_val
-            best = F.when(cond, F.lit(c)).otherwise(best)
-            best_val = F.when(cond, F.col(f"__p{s}_{c}")).otherwise(best_val)
-        code_cols[f"code{s}"] = best.cast("int")
+        # argmin, ties -> lowest code: array_position of the min (linear
+        # expression — see with_ivf_cell for why not a when-chain)
+        arr = F.array(*[F.col(f"__p{s}_{c}") for c in range(k)])
+        code_cols[f"code{s}"] = (
+            F.array_position(arr, F.array_min(arr)) - 1
+        ).cast("int")
     return out.withColumns(code_cols).drop(
         *[f"__p{s}_{c}" for s in range(m) for c in range(k)]
     )
@@ -610,11 +688,10 @@ def ivfpq_search_packed(
     )
     if vectors_df is None:
         return cand.limit(k_out)
-    qlit = F.array(*[F.lit(float(x)) for x in q])
     exact = (
         vectors_df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
         .join(cand.select(id_col), id_col, "inner")
-        .select(id_col, _l2sq(F.col("__v"), qlit).alias("dist"))
+        .select(id_col, _l2sq_lit("__v", q.tolist()).alias("dist"))
     )
     return exact.orderBy(F.asc("dist"), F.asc(id_col)).limit(k_out)
 

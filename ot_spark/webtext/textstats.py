@@ -7,8 +7,12 @@ transforms a 100 TB curation pipeline runs before any shuffle.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from .dedup import TOKENS_COL, tokens_col, with_tokens
 
@@ -21,6 +25,105 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "es": ["el", "la", "los", "de", "que", "es", "en", "para", "por", "con"],
     "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet", "met", "voor"],
 }
+
+
+# ---- Arrow-batched integer token features ------------------------------
+#
+# The per-document fold/filter features (n-gram run stats, stopword hit
+# counts, distinct-token counts) were originally higher-order-function
+# expressions (F.aggregate / F.filter over the token array).  HOFs are
+# CodegenFallback — every element evaluates an interpreted expression tree
+# with per-step struct allocation — and they dominated the curation
+# queries' bench time (repetition_full 14s at 10x sf0.1).  These UDFs
+# compute the SAME integers per document in one Arrow batch pass:
+# - run stats over the sorted n-gram array == n-gram multiplicity stats,
+#   so Counter(multiplicities) reproduces the fold exactly (longest equal
+#   run = max multiplicity; elements inside runs >= 2 = sum of
+#   multiplicities >= 2);
+# - token equality is plain string equality in both engines, and tokens
+#   are [A-Za-z0-9]+ so tuple identity == joined-span identity.
+# Only INTEGERS cross back — every ratio/round stays in the same JVM
+# expressions as before, so results are bit-identical (pinned by the
+# snapshot gate and tests/test_round7.py parity tests).
+
+
+def _ngram_counter_stats(toks: list, n: int) -> tuple[int, int]:
+    if len(toks) < n:
+        return 0, 0
+    counts: dict = {}
+    if n == 1:
+        it = toks
+    else:
+        it = zip(*(toks[i:] for i in range(n)))
+    for g in it:
+        counts[g] = counts.get(g, 0) + 1
+    best, dups = 0, 0
+    for v in counts.values():
+        if v > best:
+            best = v
+        if v > 1:
+            dups += v
+    return best, dups
+
+
+def repetition_stats_col(ns: tuple[int, ...] = (2, 3, 4)) -> Column:
+    """pandas UDF factory: token array -> struct(best{n}, dups{n} ...) —
+    the integer twin of _run_stats(array_sort(ngrams_col(toks, n)))."""
+    schema = StructType(
+        [
+            StructField(f"{k}{n}", IntegerType())
+            for n in ns
+            for k in ("best", "dups")
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for col in it:
+            out: dict[str, list[int]] = {
+                f"{k}{n}": [] for n in ns for k in ("best", "dups")
+            }
+            for toks in col:
+                t = list(toks) if toks is not None else []
+                for n in ns:
+                    best, dups = _ngram_counter_stats(t, n)
+                    out[f"best{n}"].append(best)
+                    out[f"dups{n}"].append(dups)
+            yield pd.DataFrame(out)
+
+    # nondeterministic marker: stops column pruning from cloning the UDF
+    # once per extracted struct field (see enrich_fused.spatial_enrich)
+    return stats.asNondeterministic()
+
+
+def clean_stats_col(langs: dict[str, list[str]]) -> Column:
+    """pandas UDF factory for the fused cleaning features: per-language
+    stopword hit counts (== size(filter(toks, isin(words)))), the top
+    bigram multiplicity (== the run_best fold), and the distinct-token
+    count (== size(array_distinct(toks)))."""
+    keys = sorted(langs)
+    sets = {k: frozenset(langs[k]) for k in keys}
+    schema = StructType(
+        [StructField(f"sc_{k}", IntegerType()) for k in keys]
+        + [StructField("top2", IntegerType()), StructField("nd", IntegerType())]
+    )
+
+    @F.pandas_udf(schema)
+    def stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for col in it:
+            out: dict[str, list[int]] = {f"sc_{k}": [] for k in keys}
+            out["top2"] = []
+            out["nd"] = []
+            for toks in col:
+                t = list(toks) if toks is not None else []
+                for k in keys:
+                    s = sets[k]
+                    out[f"sc_{k}"].append(sum(1 for x in t if x in s))
+                out["top2"].append(_ngram_counter_stats(t, 2)[0])
+                out["nd"].append(len(set(t)))
+            yield pd.DataFrame(out)
+
+    return stats.asNondeterministic()
 
 
 def with_langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -283,25 +386,24 @@ def with_repetition_full(df: DataFrame, text_col: str = "text") -> DataFrame:
     explode, no shuffle, no second tokenizer evaluation."""
     tok = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
-    stat_cols = {
-        f"__st{n}": _run_stats(F.array_sort(ngrams_col(toks, n))) for n in (2, 3, 4)
-    }
-    out = tok.withColumns(stat_cols).withColumn(
-        "__ntok", F.size(toks)
-    )
+    # one Arrow pass computes all six integers (see repetition_stats_col);
+    # every fraction below is the same JVM expression as before
+    out = tok.withColumn(
+        "__st", repetition_stats_col((2, 3, 4))(toks)
+    ).withColumn("__ntok", F.size(toks))
     keep = F.lit(True)
     frac_cols = {}
     for n in (2, 3, 4):
         total = F.greatest(F.col("__ntok") - (n - 1), F.lit(0))
-        top = F.when(total > 0, F.col(f"__st{n}.best") / total).otherwise(F.lit(0.0))
-        dup = F.when(total > 0, F.col(f"__st{n}.dups") / total).otherwise(F.lit(0.0))
+        top = F.when(total > 0, F.col(f"__st.best{n}") / total).otherwise(F.lit(0.0))
+        dup = F.when(total > 0, F.col(f"__st.dups{n}") / total).otherwise(F.lit(0.0))
         frac_cols[f"top_{n}gram_frac"] = F.round(top, 6)
         frac_cols[f"dup_{n}gram_frac"] = F.round(dup, 6)
         keep = keep & (top <= GOPHER_TOP_THRESH[n]) & (dup <= GOPHER_DUP_THRESH[n])
     return (
         out.withColumns(frac_cols)
         .withColumn("keep_repetition_full", keep)
-        .drop(TOKENS_COL, "__ntok", *stat_cols)
+        .drop(TOKENS_COL, "__ntok", "__st")
     )
 
 

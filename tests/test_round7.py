@@ -1,0 +1,200 @@
+"""Round-7 optimization parity tests.
+
+Round 7 rewrites several per-row operators for speed with a hard "same
+results" contract: unrolled codegen arithmetic replacing interpreted
+higher-order-function folds (simsearch), Arrow-batched integer token
+features replacing HOF folds/filters (textstats/curate/dedup), and a scan
+parallelism floor (_read).  Each test pins BIT-EXACT equality between the
+new implementation and the fold/HOF formulation it replaced, on the real
+sf0.001 fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from ot_spark.webtext import dedup, simsearch, textstats
+
+
+def _bits(rows):
+    """Serialize result rows with float64 bit-exactness."""
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(struct.pack("<d", v).hex())
+            elif isinstance(v, list):
+                vals.append(tuple(v))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_unrolled_dot_and_l2_bit_parity(spark, sf_dir):
+    """_dot_lit/_l2sq_lit == the zip_with/aggregate folds, bit for bit."""
+    emb = _emb(spark, sf_dir)
+    vals = [0.25 - 0.017 * i for i in range(64)]
+    lits = F.array(*[F.lit(float(x)) for x in vals])
+    vec = F.col("embedding").cast("array<double>")
+    old = emb.select(
+        "vec_id",
+        simsearch._dot(vec, lits).alias("d"),
+        simsearch._l2sq(F.slice(vec, 17, 16), F.array(*[F.lit(float(x)) for x in vals[16:32]])).alias("l"),
+    ).collect()
+    new = emb.select(
+        "vec_id",
+        simsearch._dot_lit("embedding", vals).alias("d"),
+        simsearch._l2sq_lit("embedding", vals[16:32], offset=16).alias("l"),
+    ).collect()
+    assert _bits(old) == _bits(new)
+
+
+def test_cosine_lit_bit_parity(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    vec = F.col("embedding").cast("array<double>")
+    qlit = F.array(*[F.lit(x) for x in q])
+    old = emb.select("vec_id", simsearch.cosine_col(vec, qlit).alias("c")).collect()
+    new = emb.select("vec_id", simsearch.cosine_lit("embedding", q).alias("c")).collect()
+    assert _bits(old) == _bits(new)
+
+
+def test_ivf_argmax_position_parity(spark, sf_dir):
+    """array_position(array_max) == the strict-> when-chain argmax,
+    including first-wins tie semantics."""
+    emb = _emb(spark, sf_dir)
+    cents = simsearch.train_ivf_centroids_portable(emb, n_centroids=8, sample=100, iters=1)
+    new = simsearch.with_ivf_cell(emb, cents, round_p=9).select("vec_id", "ivf_cell")
+    # reference: the pre-round-7 when-chain over the same rounded dots
+    vec = F.col("embedding").cast("array<double>")
+    dots = [
+        F.round(simsearch._dot(vec, F.array(*[F.lit(float(x)) for x in c])), 9)
+        for c in cents
+    ]
+    tmp = emb.select("vec_id", *[d.alias(f"__d{i}") for i, d in enumerate(dots)])
+    best, best_val = F.lit(0), F.col("__d0")
+    for i in range(1, len(cents)):
+        cond = F.col(f"__d{i}") > best_val
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_val = F.when(cond, F.col(f"__d{i}")).otherwise(best_val)
+    old = tmp.select("vec_id", best.cast("int").alias("ivf_cell"))
+    assert _bits(old.collect()) == _bits(new.collect())
+
+
+def test_repetition_stats_parity(spark, sf_dir):
+    """Counter-based n-gram stats == _run_stats fold over sorted n-grams."""
+    docs = _docs(spark, sf_dir)
+    tok = dedup.with_tokens(docs)
+    toks = F.col(dedup.TOKENS_COL)
+    new = tok.select(
+        "doc_id", textstats.repetition_stats_col((2, 3, 4))(toks).alias("st")
+    ).select("doc_id", "st.*").collect()
+    sel = ["doc_id"]
+    old_cols = {}
+    for n in (2, 3, 4):
+        st = textstats._run_stats(F.array_sort(textstats.ngrams_col(toks, n)))
+        old_cols[f"best{n}"] = st["best"]
+        old_cols[f"dups{n}"] = st["dups"]
+    old = tok.withColumns(old_cols).select(*sel, *old_cols).collect()
+    assert _bits(old) == _bits(new)
+
+
+def test_clean_stats_parity(spark, sf_dir):
+    """Arrow stopword/top-bigram/distinct counts == the HOF filters."""
+    docs = _docs(spark, sf_dir)
+    tok = dedup.with_tokens(docs)
+    toks = F.col(dedup.TOKENS_COL)
+    new = tok.select(
+        "doc_id", textstats.clean_stats_col(textstats.LANG_STOPWORDS)(toks).alias("cs")
+    ).select("doc_id", "cs.*").collect()
+    old_cols = {
+        f"sc_{lang}": F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in sorted(textstats.LANG_STOPWORDS.items())
+    }
+    run_best = textstats._run_stats(F.array_sort(textstats.ngrams_col(toks, 2)))["best"]
+    old = tok.withColumns(old_cols).withColumns(
+        {"top2": run_best, "nd": F.size(F.array_distinct(toks))}
+    ).select("doc_id", *old_cols, "top2", "nd").collect()
+    assert _bits(old) == _bits(new)
+
+
+def test_minhash_md5_parity(spark, sf_dir):
+    """hashlib md5 minhash == the JVM shingle+fold md5 signature."""
+    docs = _docs(spark, sf_dir)
+    new = dedup.with_minhash(docs, k=4, shingle_n=3, hash_mode="md5").select(
+        "doc_id", "minhash"
+    ).collect()
+    tok = dedup.with_tokens(docs)
+    sh = dedup.shingles_col(F.col(dedup.TOKENS_COL), 3)
+    old = tok.withColumn(
+        "minhash", dedup.minhash_signature(sh, 4, "md5")
+    ).select("doc_id", "minhash").collect()
+    assert _bits(old) == _bits(new)
+
+
+def test_distinct_spans_parity(spark, sf_dir):
+    """Arrow distinct window spans == HOF transform+filter+array_distinct
+    (as sets — order inside the array is not part of the contract)."""
+    docs = _docs(spark, sf_dir)
+    window = 8
+    new = {
+        r.doc_id: frozenset(r.s)
+        for r in docs.select(
+            "doc_id",
+            dedup._distinct_spans_col(window)(
+                dedup.tokens_col(F.col("text"))
+            ).alias("s"),
+        ).collect()
+    }
+    tok = dedup.with_tokens(docs)
+    toks = F.col(dedup.TOKENS_COL)
+    wins = F.filter(
+        F.transform(
+            toks, lambda _t, i: F.concat_ws(" ", F.slice(toks, i + 1, window))
+        ),
+        lambda _s, i: i <= F.size(toks) - window,
+    )
+    old = {
+        r.doc_id: frozenset(r.s)
+        for r in tok.select(
+            "doc_id", F.array_distinct(wins).alias("s")
+        ).collect()
+    }
+    assert old == new
+
+
+def test_read_parallelism_floor(spark, sf_dir):
+    """_read repartitions narrow scans up to defaultParallelism without
+    changing contents."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._read(spark, sf_dir, "documents")
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sorted(r.doc_id for r in df.select("doc_id").collect()) == sorted(
+        r.doc_id for r in plain.select("doc_id").collect()
+    )
+
+
+def test_ivfpq_topk_barrier_plan(spark, sf_dir):
+    """The codegen-stage barrier is present (ArrowEvalPython of the 4-byte
+    cell id) so neither fused half exceeds the JVM compile limit."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ivfpq_topk"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
