@@ -180,7 +180,7 @@ def test_read_parallelism_floor(spark, sf_dir):
     changing contents."""
     import __spark_entry__ as entrymod
 
-    df = entrymod._read(spark, sf_dir, "documents")
+    df = entrymod._read(spark, sf_dir, "documents", fan=True)
     assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert sorted(r.doc_id for r in df.select("doc_id").collect()) == sorted(
