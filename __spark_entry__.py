@@ -64,7 +64,7 @@ def _off_boundary_col() -> F.Column:
 # --------------------------------------------------------------- queries
 
 def _read(
-    spark: SparkSession, sf_dir: str, name: str, fan: bool = False
+    spark: SparkSession, sf_dir: str, name: str, fan: bool | int = False
 ) -> DataFrame:
     """Scan, optionally with a parallelism floor (guide §2.5 "one huge
     unsplittable file": repartition immediately after the read).
@@ -84,13 +84,42 @@ def _read(
     stage (tokenize/shingle/PQ-encode-heavy queries — measured 2-9x
     there) and is a pure loss for the cheap/shuffle-dominated queries
     (the iterative graph ops' per-round task fan-out made pagerank 2x
-    SLOWER with a blanket floor)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    SLOWER with a blanket floor).
+
+    ``fan`` may also be an int: a ROW-COUNT THRESHOLD making the floor
+    scale-adaptive (guide §2 — no constant tuned to one scale).  For the
+    medium-weight per-row queries (WARC framing walk, HTML regex chains)
+    the exchange only pays for itself once the table is big enough:
+    measured at 10x sf0.1 the floor is 2-3x (warc_parse 2.1s -> 0.7s)
+    but at sf0.1 it is a 0.1-0.4s net loss.  The threshold reads the
+    parquet footer row count (driver-side, ~ms) — at or above it, fan;
+    below it, leave the scan alone."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if fan is not True and fan:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        try:
+            rows = (
+                _pq.read_metadata(path).num_rows
+                if _os.path.isfile(path)
+                else None
+            )
+        except Exception:  # noqa: BLE001 — unreadable footer: fan anyway
+            rows = None
+        fan = rows is None or rows >= int(fan)
     if fan:
         floor = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < floor:
             df = df.repartition(floor)
     return df
+
+
+# medium-per-row-work threshold: 10x sf0.1 (50k docs) fans, sf0.1 (5k) does
+# not — the crossover measured in BENCH/ for the warc/html/url families
+FAN_ROWS = 20000
 
 
 def q_complex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,7 +495,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl pipeline."""
     from ot_spark.webtext.urltools import url_dedup
 
-    df = _read(spark, sf_dir, "documents")
+    df = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     return url_dedup(df)
 
 
@@ -534,7 +563,7 @@ def q_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import bloom_build
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     urls = docs.select(
         F.concat(
             F.lit("site"), (F.col("doc_id") % 50).cast("string"),
@@ -563,7 +592,7 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.sketch import bloom_build, bloom_probe
     from ot_spark.webtext.urltools import synthetic_url_col
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     host = F.concat(
         F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
     )
@@ -814,7 +843,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one map-only pass plus the explode, no shuffles, no UDFs."""
     from ot_spark.webtext.htmltext import extract_links
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     p = _LINK_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
@@ -1554,7 +1583,7 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip are all checked against an independent derivation."""
     from ot_spark.webtext.warc import parse_warc_records, synthetic_warc_blob
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     blobs = docs.select(
         "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
     )
@@ -1594,7 +1623,7 @@ def q_warc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_warc_records, synthetic_warc_blob, write_warc_records,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     blobs = docs.select(
         "doc_id", synthetic_warc_blob(F.col("doc_id")).alias("warc")
     )
@@ -1648,7 +1677,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.htmltext import extract_links
     from ot_spark.webtext.urltools import host_col, synthetic_url_col
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     p = _LINK_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
@@ -1710,7 +1739,7 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARITHMETICALLY from doc_id, independent of the regex pipeline."""
     from ot_spark.webtext.htmltext import anchor_term_counts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan=FAN_ROWS)
     p = _ANCHOR_TMPL_PARTS
     page = F.concat(
         F.lit(p[0]), ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),

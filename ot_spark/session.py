@@ -50,6 +50,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("OT_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull`
+        # above every explode; PushDownPredicate then moves it below the
+        # scan-parallelism-floor repartition and CollapseProject INLINES
+        # the array derivation (the tokenizer regex, span UDFs, ...) into
+        # the filter — so the most expensive map expression in the query
+        # runs TWICE, once on the unfanned single-row-group scan (one
+        # task).  Measured: inverted_index 2.8s -> 1.5s warm at 10x sf0.1.
+        # The rule only prunes empty-array rows pre-shuffle — a no-op
+        # semantically, and our explodes sit above the fan repartition
+        # where the early prune saves nothing.  Overridable per deploy.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "OT_SPARK_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
         # HotSpot never JIT-compiles methods over ~8 KB of bytecode, so a
         # whole-stage-fused method past that limit runs JVM-INTERPRETED —
         # measured 3x slower than per-operator execution on the Bloom
