@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import TOKENS_COL, with_tokens
+from .dedup import TOKENS_COL, _materialize, with_tokens
 from .textstats import LANG_STOPWORDS
 
 
@@ -176,7 +176,9 @@ def unigram_logprob(df: DataFrame, total_tokens: int, text_col: str = "text") ->
     (one scalar agg job) so the plan is a straight tree.  Documents with
     zero tokens have no probability mass and drop out (both engines)."""
     tok = with_tokens(df, text_col)
-    terms = tok.select("doc_id", F.explode(F.col(TOKENS_COL)).alias("term"))
+    terms = _materialize(
+        tok.select("doc_id", F.explode(F.col(TOKENS_COL)).alias("term"))
+    )
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
     scored = terms.join(vocab, "term").select(
         "doc_id",
@@ -331,6 +333,8 @@ def bigram_logprob(
         "term",
         F.when(F.col("i") > 0, F.element_at("__t", F.col("i"))).alias("prev"),
     )
+    # four consumers (uni, bi, first, rest) — tokenize+posexplode once
+    pos = _materialize(pos)
     # 1.0 - 0.7 is 0.30000000000000004 in IEEE double, one ulp OFF the SQL
     # literal 0.3 the oracle uses — re-round so both engines interpolate
     # with the identical coefficient (round(6) would usually absorb the

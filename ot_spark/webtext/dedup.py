@@ -31,6 +31,24 @@ from pyspark.sql.types import LongType
 TOKEN_RE = "[A-Za-z0-9]+"
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a multiply-consumed stream ONCE (guide §5 localCheckpoint).
+
+    Several operators derive 2-4 aggregates from the same exploded
+    token/span stream; Catalyst clones the scan+tokenize+explode subtree
+    per consumer (column pruning makes the subtrees non-identical, so
+    neither ReuseExchange nor AQE stage reuse dedupes them), and the
+    tokenizer regex / span UDF is the dominant map cost.  One
+    localCheckpoint trades a single materialization of the stream (a
+    shuffle-write-sized cost; blocks are freed by the ContextCleaner once
+    the frame is collected — no unpersist bookkeeping) for k-1 recomputes
+    of the most expensive map stage — the right side of that trade at
+    every scale where the per-row derivation dominates.  Row content,
+    partitioning and intra-partition order are preserved, so downstream
+    aggregation order — hence every float — is bit-identical."""
+    return df.localCheckpoint(eager=True)
+
+
 def tokens_col(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
 
@@ -659,6 +677,9 @@ def substring_dup_pairs(
         w = w.withColumn("wk", F.col("win"))
     else:
         raise ValueError(f"key_mode must be 'hash' or 'span', got {key_mode!r}")
+    # NOT materialized (unlike the LM-family streams): the span rows are
+    # ~50-byte strings and the A/B showed recomputing the Arrow span UDF
+    # beats writing the wide stream (3.9s vs 4.3s at 10x sf0.1)
     sizes = (
         w.groupBy("wk")
         .agg(F.count(F.lit(1)).alias("n"))

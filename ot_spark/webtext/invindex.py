@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import TOKENS_COL, with_tokens
+from .dedup import TOKENS_COL, _materialize, with_tokens
 
 
 def inverted_index(
@@ -135,9 +135,12 @@ def pmi_pairs(
     cross-engine gate (counts are BIGINTs).
     """
     t = with_tokens(docs.select(id_col, text_col), text_col)
-    terms = t.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(F.col(TOKENS_COL))).alias("term"),
+    # three consumers (pair legs a and b, the df table) — tokenize once
+    terms = _materialize(
+        t.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(F.col(TOKENS_COL))).alias("term"),
+        )
     )
     a = terms.select("doc", F.col("term").alias("x"))
     b = terms.select("doc", F.col("term").alias("y"))
