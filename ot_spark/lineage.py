@@ -75,15 +75,77 @@ def _tiny_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def _local_fs_path(path: str) -> str | None:
+    """Local filesystem path for ``path``, or None for a remote URI."""
+    p = path[7:] if path.startswith("file://") else path
+    return None if "://" in p else p
+
+
+_ARROW_TYPES: dict[str, object] = {}
+
+
+def _arrow_schema(ddl: str):
+    import pyarrow as pa
+
+    types = {
+        "long": pa.int64(), "bigint": pa.int64(),
+        "int": pa.int32(), "string": pa.string(),
+    }
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().split()
+        fields.append(pa.field(name, types[typ]))
+    return pa.schema(fields)
+
+
+def _write_tiny(
+    spark: SparkSession, rows: list, ddl: str, path: str, mode: str = "append"
+) -> None:
+    """Append/overwrite a tiny metadata log.
+
+    Iceberg writes table metadata DRIVER-SIDE (through FileIO), never as
+    cluster jobs — the symmetric twin of ``_meta_rows``'s local read
+    fast-path.  Each metadata write issued as a Spark job pays whole-job
+    scheduling latency to move a handful of rows (measured ~0.15 s per
+    write at local[32]; a snapshot commit does three of them).  Local
+    paths write one parquet file via pyarrow with an EXPLICIT arrow
+    schema derived from the same DDL the Spark fallback uses, so footer
+    types are identical whichever path wrote a given file; non-local
+    URIs (s3://, hdfs://) fall back to the one-task Spark write."""
+    local = _local_fs_path(path)
+    if local is None:
+        df = _tiny_df(spark, rows, ddl)
+        df.write.mode(mode).parquet(path)
+        return
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _arrow_schema(ddl)
+    cols = {
+        f.name: [r[i] for r in rows] for i, f in enumerate(schema)
+    }
+    table = pa.table(cols, schema=schema)
+    if mode == "overwrite" and os.path.exists(local):
+        shutil.rmtree(local)
+    os.makedirs(local, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(local, f"part-{_uuid.uuid4().hex}.parquet")
+    )
+
+
 def write_table_properties(spark: SparkSession, out_dir: str, props: dict) -> None:
     """Persist table properties (the osmosis_replication_timestamp analog,
     /root/reference/src/utils.rs:4-8) as a tiny parquet sidecar under the
     output dir — scheme-agnostic (no driver-local fs ops), invisible to
     readers of the data dir itself."""
     rows = [(str(k), str(v)) for k, v in sorted(props.items())]
-    _tiny_df(spark, rows or [("", "")], "key string, value string").where(
-        F.col("key") != ""
-    ).write.mode("overwrite").parquet(f"{out_dir}/{PROPS_SUBDIR}")
+    _write_tiny(
+        spark, rows, "key string, value string",
+        f"{out_dir}/{PROPS_SUBDIR}", mode="overwrite",
+    )
 
 
 def read_table_properties(spark: SparkSession, in_dir: str) -> dict:
@@ -107,10 +169,47 @@ def propagate_table_properties(
     return props
 
 
-def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+def _completed_bucket_list(
+    spark: SparkSession, lineage_path: str
+) -> list[int] | None:
+    """Distinct completed buckets, read DRIVER-SIDE on local paths (the
+    lineage table is bounded by bucket count x runs — metadata scale);
+    falls back to a Spark distinct+collect on remote URIs."""
     if not _lineage_exists(spark, lineage_path):
         return None
-    return spark.read.parquet(lineage_path).select(BUCKET_COL).distinct()
+    local = _local_fs_path(lineage_path)
+    if local is not None:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(local, "*.parquet")))
+        if not files:
+            return None
+        seen: set[int] = set()
+        for f in files:
+            seen.update(
+                pq.read_table(f, columns=[BUCKET_COL])
+                .column(BUCKET_COL)
+                .to_pylist()
+            )
+        return sorted(seen)
+    return sorted(
+        r[BUCKET_COL]
+        for r in spark.read.parquet(lineage_path)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    rows = _completed_bucket_list(spark, lineage_path)
+    if rows is None:
+        return None
+    return spark.createDataFrame(
+        [(int(b),) for b in rows], f"{BUCKET_COL} int"
+    )
 
 
 def write_with_lineage(
@@ -143,10 +242,14 @@ def write_with_lineage(
     run_id = run_id or uuid.uuid4().hex[:12]
     bucketed = with_bucket(df, cell_col, n_buckets)
 
-    done = completed_buckets(spark, lineage_path)
+    done_list = _completed_bucket_list(spark, lineage_path)
+    done = None
     skipped = 0
-    if done is not None:
-        skipped = done.count()
+    if done_list is not None:
+        skipped = len(done_list)
+        done = spark.createDataFrame(
+            [(int(b),) for b in done_list], f"{BUCKET_COL} int"
+        )
         bucketed = bucketed.join(F.broadcast(done), BUCKET_COL, "left_anti")
 
     # idempotency: every run writes only under its own run=<id> subdirs, so
@@ -214,6 +317,12 @@ def write_with_lineage(
         ).persist()
         written = lineage.count()
         if written:
+            # coalesce(1) over the PERSISTED per-bucket aggregate (row
+            # count bounded by n_buckets): the aggregate exchange above
+            # it keeps the heavy work parallel, and one file per commit
+            # keeps the lineage log's file count = commit count (the
+            # _tiny_df rationale; this frame is computed, not local, so
+            # the parallelize(…, 1) path doesn't apply)
             lineage.coalesce(1).write.mode("append").parquet(lineage_path)
         if audit_input:
             want = bucketed.agg(
@@ -315,12 +424,8 @@ def _append_snapshot(
     snap_id = (parent or 0) + 1
     # manifest = full lineage state AS OF this commit (cumulative bucket
     # membership — Iceberg's manifest-list role); tiny: one row per bucket
-    lin = spark.read.parquet(lineage_path).select(
-        BUCKET_COL, "cell_min", "cell_max", "row_count", "checksum",
-        "run_id", "files",
-    )
-    lin.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_dir}/{MANIFESTS_SUBDIR}/snap={snap_id}"
+    _copy_manifest(
+        spark, lineage_path, f"{out_dir}/{MANIFESTS_SUBDIR}/snap={snap_id}"
     )
     row = [(
         snap_id,
@@ -333,14 +438,57 @@ def _append_snapshot(
         schema_id,
         spec_id,
     )]
-    _tiny_df(
+    _write_tiny(
         spark,
         row,
         "snapshot_id long, parent_id long, ts long, operation string, "
         "run_id string, buckets_written long, buckets_skipped long, "
         "schema_id long, spec_id long",
-    ).write.mode("append").parquet(f"{out_dir}/{SNAPSHOTS_SUBDIR}")
+        f"{out_dir}/{SNAPSHOTS_SUBDIR}",
+    )
     return snap_id
+
+
+_MANIFEST_COLS = [
+    BUCKET_COL, "cell_min", "cell_max", "row_count", "checksum",
+    "run_id", "files",
+]
+
+
+def _copy_manifest(
+    spark: SparkSession, lineage_path: str, dest: str
+) -> None:
+    """Snapshot the cumulative lineage state into a manifest dir.
+
+    Driver-side on local paths (same FileIO discipline as ``_write_tiny``
+    / ``_meta_rows``): the lineage table is one row per (bucket, run) —
+    metadata scale — and a pyarrow read+write of it skips two whole Spark
+    jobs (listing read + coalesced write) per commit.  Types are
+    preserved exactly because the rows round-trip through arrow from the
+    parquet footers Spark wrote.  Remote URIs use the Spark path."""
+    local_src = _local_fs_path(lineage_path)
+    local_dst = _local_fs_path(dest)
+    if local_src is not None and local_dst is not None:
+        import glob as _glob
+        import shutil
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(os.path.join(local_src, "*.parquet")))
+        tables = [pq.read_table(f, columns=_MANIFEST_COLS) for f in files]
+        merged = pa.concat_tables(tables, promote_options="default")
+        if os.path.exists(local_dst):
+            shutil.rmtree(local_dst)
+        os.makedirs(local_dst)
+        pq.write_table(
+            merged,
+            os.path.join(local_dst, f"part-{_uuid.uuid4().hex}.parquet"),
+        )
+        return
+    lin = spark.read.parquet(lineage_path).select(*_MANIFEST_COLS)
+    lin.coalesce(1).write.mode("overwrite").parquet(dest)
 
 
 def read_manifest(spark: SparkSession, out_dir: str, snapshot_id: int) -> DataFrame:
@@ -526,12 +674,13 @@ def _write_schema(
 ) -> None:
     """``fields``: ordered (field_id, name, type, physical) tuples."""
     rows = [(schema_id, i, *f) for i, f in enumerate(fields)]
-    _tiny_df(
+    _write_tiny(
         spark,
         rows,
         "schema_id long, ord int, field_id long, name string, "
         "type string, physical string",
-    ).write.mode("append").parquet(f"{out_dir}/{SCHEMAS_SUBDIR}")
+        f"{out_dir}/{SCHEMAS_SUBDIR}",
+    )
 
 
 def current_schema(
@@ -629,21 +778,23 @@ def _register_metadata(
     rows = _meta_rows(spark, f"{out_dir}/{SPECS_SUBDIR}")
     if rows is None:
         pid = 0
-        _tiny_df(
+        _write_tiny(
             spark,
             [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
             "spec_id long, source string, transform string, n long",
-        ).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
+            f"{out_dir}/{SPECS_SUBDIR}",
+        )
     else:
         latest = max(rows, key=lambda r: r.spec_id)
         pid = latest.spec_id
         if (latest.source, latest.n) != (cell_col, n_buckets):
             pid += 1
-            _tiny_df(
+            _write_tiny(
                 spark,
                 [(pid, cell_col, f"bucket[{n_buckets}]", n_buckets)],
                 "spec_id long, source string, transform string, n long",
-            ).write.mode("append").parquet(f"{out_dir}/{SPECS_SUBDIR}")
+                f"{out_dir}/{SPECS_SUBDIR}",
+            )
     return sid, pid
 
 
