@@ -473,8 +473,13 @@ def ppr_fixed(
     seed-membership flag on the node frame.  Nodes with rank 0 are
     KEPT (the full vector is the fixed point); callers top-k.
     """
-    q = seeds.select(F.col("node"))
+    # distinct: duplicate seed rows would inflate nq AND fan the node
+    # frame out through the membership join, silently corrupting every
+    # rank (r6 advice)
+    q = seeds.select(F.col("node")).distinct()
     nq = q.count()
+    if nq == 0:
+        raise ValueError("ppr_fixed: empty seed set (teleport undefined)")
     base = (100 - damping_pct) * (SCALE // nq) // 100
     n = nodes.select(F.col(node_col).alias("node")).join(
         F.broadcast(q.select(F.col("node"), F.lit(1).alias("__isq"))),

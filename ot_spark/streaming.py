@@ -345,7 +345,8 @@ def bloom_stream(
     per-key state, so the filter stays current across an unbounded
     crawl feed and survives restarts (state is checkpointed).
 
-    State shape is the whole point: 8 BIGINTs (32 bytes) per key —
+    State shape is the whole point: 8 BIGINTs (64 bytes of checkpointed
+    state holding 8x32-bit registers) per key —
     bounded by HOST cardinality, never URL count — and bit_or is
     commutative/idempotent, so replayed micro-batches after a restart
     cannot corrupt a register.  Emit in update/complete mode; the

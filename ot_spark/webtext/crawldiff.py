@@ -201,7 +201,17 @@ def burst_hosts(
     cells = (
         revs.select(
             host.alias("host"),
-            F.expr(f"({epoch_col} - {CRAWL_EPOCH}) DIV {DAY}").alias("day"),
+            # FLOOR-division day cell, integer-exact: subtracting the
+            # pmod remainder before DIV floors for negative offsets too,
+            # matching the oracle's // semantics (r6 advice: plain DIV
+            # truncates toward zero, so pre-epoch timestamps would land
+            # in different cells than the oracle's).  For epoch >=
+            # CRAWL_EPOCH the two are identical, so fixture outputs are
+            # unchanged.
+            F.expr(
+                f"(({epoch_col} - {CRAWL_EPOCH})"
+                f" - pmod({epoch_col} - {CRAWL_EPOCH}, {DAY})) DIV {DAY}"
+            ).alias("day"),
         )
         .groupBy("host", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -185,7 +185,12 @@ def write_warc_records(
         F.lit("WARC-Target-URI: "), F.col("target_uri"), F.lit(_CRLF),
         F.lit("WARC-Date: "), date, F.lit(_CRLF),
         F.lit("Content-Length: "),
-        F.length("payload").cast("string"), F.lit(_CRLF),
+        # OCTET length (UTF-8 bytes), not character count: the blob is
+        # encoded to UTF-8 below and _parse_blob frames records by BYTE
+        # count, so a non-ASCII payload under F.length would emit an
+        # invalid blob the parser mis-frames (r6 advice).  ASCII
+        # payloads (all fixtures) are unchanged.
+        F.octet_length("payload").cast("string"), F.lit(_CRLF),
         F.lit(_CRLF), F.col("payload"), F.lit(_CRLF + _CRLF),
     )
     per = records.select(

@@ -198,3 +198,31 @@ def test_ivfpq_topk_barrier_plan(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_warc_write_non_ascii_roundtrip(spark):
+    """Content-Length is OCTET length (r7 fix): a non-ASCII payload must
+    survive write->parse framing byte-exactly."""
+    from ot_spark.webtext.warc import parse_warc_records, write_warc_records
+
+    rows = [
+        (1, 0, "https://site1.org/p/1", 1735689600, 7, "naïve€"),
+        (1, 1, "https://site1.org/p/1", 1735776000, 3, "abc"),
+        (2, 0, "https://site2.org/p/2", 1735689600, 12, "WARC/1.0\r\nß"),
+    ]
+    recs = spark.createDataFrame(
+        rows,
+        "doc_id long, rec_idx int, target_uri string, warc_epoch long, "
+        "content_length long, payload string",
+    )
+    out = parse_warc_records(write_warc_records(recs))
+    got = sorted(
+        map(tuple, out.select(
+            "doc_id", "rec_idx", "target_uri", "warc_epoch", "payload"
+        ).collect())
+    )
+    want = sorted((r[0], r[1], r[2], r[3], r[5]) for r in rows)
+    assert got == want
+    # and the parsed content_length is the BYTE count of the payload
+    for r in out.collect():
+        assert r["content_length"] == len(r["payload"].encode("utf-8"))
