@@ -206,7 +206,11 @@ def hits_fixed(
 
 
 def label_prop(
-    edges: DataFrame, nodes: DataFrame, iters: int = 3, node_col: str = "node"
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    node_col: str = "node",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007, public) —
     host-community detection over the link graph, the standard first cut
@@ -228,12 +232,15 @@ def label_prop(
     production runs add an ``observe()`` fixpoint check per round the
     way the connected-components operator does (webtext/dedup.py).
 
-    The neighbour list and each round's label frame are
-    ``localCheckpoint``-ed (the CC pattern): round k references round
-    k-1's labels twice (the count join and the carry-forward coalesce),
-    so an unrolled plan doubles per round — lineage truncation holds it
-    at ~4 exchanges per round, and the label frame is exactly the
-    node-sized intermediate a cluster run persists between rounds.
+    The neighbour list is ``localCheckpoint``-ed, and the label frame
+    every ``checkpoint_every`` rounds (the CC pattern): round k
+    references round k-1's labels twice (the count join and the
+    carry-forward coalesce), so an unrolled plan doubles per
+    uncheckpointed round.  Cadence 2 (r6 verdict ask): the plan doubles
+    exactly once between truncations — bounded growth — while paying
+    half the eager checkpoint jobs of the per-round cadence (measured
+    at 10x sf0.1: depth 3 2.1s -> 1.8s, depth 10 parity, same labels).
+    Pass 1 to truncate every round.
 
     Returns (node, label) after ``iters`` rounds.
     """
@@ -253,7 +260,7 @@ def label_prop(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).cast("long").alias("label")
     )
-    for _ in range(iters):
+    for r in range(iters):
         cnt = (
             nbr.join(labels, nbr["u"] == labels["node"], "inner")
             .groupBy("v", "label")
@@ -268,8 +275,9 @@ def label_prop(
         labels = (
             labels.join(win, labels["node"] == win["v"], "left")
             .select("node", F.coalesce("__w", "label").alias("label"))
-            .localCheckpoint()
         )
+        if (r + 1) % max(checkpoint_every, 1) == 0 or r == iters - 1:
+            labels = labels.localCheckpoint()
     return labels
 
 
