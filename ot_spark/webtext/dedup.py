@@ -677,9 +677,15 @@ def substring_dup_pairs(
         w = w.withColumn("wk", F.col("win"))
     else:
         raise ValueError(f"key_mode must be 'hash' or 'span', got {key_mode!r}")
-    # NOT materialized (unlike the LM-family streams): the span rows are
-    # ~50-byte strings and the A/B showed recomputing the Arrow span UDF
-    # beats writing the wide stream (3.9s vs 4.3s at 10x sf0.1)
+    # ONE exchange feeds all three consumers (sizes, pair legs a and b):
+    # a column-only repartition on the bucket key makes the three
+    # downstream subtrees share the same shuffle stage — AQE stage reuse
+    # computes the span UDF once on the map side and the bucket-size agg
+    # plus both join legs read the shuffled output co-partitioned on wk
+    # (A/B at 10x sf0.1: 4.1-4.5s -> 2.5-3.1s).  Chosen over
+    # localCheckpoint materialization (slower: the ~50-byte span rows
+    # cost more to pin than to shuffle once, 4.3s vs 3.9s measured).
+    w = w.repartition(F.col("wk"))
     sizes = (
         w.groupBy("wk")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -189,6 +189,49 @@ def main() -> None:
         ),
     })
 
+    # r7 (VERDICT r6 #4): production-depth iterative graph ops — depth 10
+    # on the same 2M-node / ~4M-edge graph, with the final plan's Exchange
+    # count recorded so growth across depth is auditable (flat per round,
+    # not exponential: lineage truncation caps the unrolled plan).
+    from ot_spark.graph import pagerank_fixed
+
+    def _exchanges(df) -> int:
+        s = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return s.count("Exchange")
+
+    depth_evidence = {}
+
+    def _depth(name, builder, iters):
+        def go():
+            df = builder(iters)
+            depth_evidence[name] = {
+                "iters": iters, "exchanges_in_final_plan": _exchanges(df)
+            }
+            run(df)
+        return go
+
+    ops.update({
+        "pagerank_10iter": _depth(
+            "pagerank_10iter",
+            lambda k: pagerank_fixed(
+                synthetic_edges(docs, N_DOCS), nodes, N_DOCS, iters=k
+            ),
+            10,
+        ),
+        "label_prop_10iter": _depth(
+            "label_prop_10iter",
+            lambda k: label_prop(synthetic_edges(docs, N_DOCS), nodes, iters=k),
+            10,
+        ),
+        "kcore_10round": _depth(
+            "kcore_10round",
+            lambda k: kcore(synthetic_edges(docs, N_DOCS), k=3, rounds=k),
+            10,
+        ),
+    })
+
     only = os.environ.get("SPARK_GRAFT_WEBTEXT_OPS")
     if only:
         keep = {k.strip() for k in only.split(",")}
@@ -214,6 +257,8 @@ def main() -> None:
             "sec": round(sec, 2),
             "docs_per_sec": round(N_DOCS / sec, 1),
             }
+        if name in depth_evidence:
+            out["ops"][name].update(depth_evidence[name])
         print(name, out["ops"][name], flush=True)
     with open(os.path.join(REPO, "BENCH", "WEBTEXT_SCALE.json"), "w") as f:
         json.dump(out, f, indent=1)
