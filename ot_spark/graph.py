@@ -239,8 +239,8 @@ def label_prop(
     uncheckpointed round.  Cadence 2 (r6 verdict ask): the plan doubles
     exactly once between truncations — bounded growth — while paying
     half the eager checkpoint jobs of the per-round cadence (measured
-    at 10x sf0.1: depth 3 2.1s -> 1.8s, depth 10 parity, same labels).
-    Pass 1 to truncate every round.
+    at 10x sf0.1: depth 10 10.2s -> 7.1s with identical labels; depth-3
+    gate unchanged within noise).  Pass 1 to truncate every round.
 
     Returns (node, label) after ``iters`` rounds.
     """
