@@ -226,3 +226,71 @@ def test_warc_write_non_ascii_roundtrip(spark):
     # and the parsed content_length is the BYTE count of the payload
     for r in out.collect():
         assert r["content_length"] == len(r["payload"].encode("utf-8"))
+
+
+def _plan_of(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_substring_dup_shared_shuffle_plan(spark, sf_dir):
+    """The span stream is repartitioned on the bucket key so all three
+    consumers share one shuffle stage (r7): the plan carries a
+    REPARTITION_BY_COL exchange on wk, and results match the unshared
+    formulation exactly."""
+    from ot_spark.webtext.dedup import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = substring_dup_pairs(docs, window=8, max_bucket=50)
+    assert "REPARTITION_BY_COL" in _plan_of(df)
+    got = sorted(map(tuple, df.collect()))
+    # reference: span-keyed mode (independent code path, same contract)
+    ref = sorted(
+        map(tuple, substring_dup_pairs(
+            docs, window=8, max_bucket=50, key_mode="span"
+        ).collect())
+    )
+    assert got == ref
+
+
+def test_read_fan_threshold(spark, sf_dir):
+    """fan=<rows>: below the footer-row threshold the scan is untouched;
+    at/below it the floor engages."""
+    import __spark_entry__ as entrymod
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    plain = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    below = entrymod._read(spark, sf_dir, "documents", fan=rows + 1)
+    assert below.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
+    at = entrymod._read(spark, sf_dir, "documents", fan=rows)
+    assert at.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_lineage_metadata_driver_side_roundtrip(spark, tmp_path):
+    """_write_tiny's pyarrow fast path and the Spark fallback produce
+    interchangeable files: a log written locally reads back through both
+    _meta_rows and spark.read with the DDL's types."""
+    from ot_spark import lineage as lin
+
+    path = str(tmp_path / "snaplog")
+    lin._write_tiny(
+        spark, [(1, None, 123, "append", "r1", 5, 0, 0, 0)],
+        "snapshot_id long, parent_id long, ts long, operation string, "
+        "run_id string, buckets_written long, buckets_skipped long, "
+        "schema_id long, spec_id long", path,
+    )
+    lin._write_tiny(
+        spark, [(2, 1, 124, "overwrite", "r2", 3, 2, 0, 0)],
+        "snapshot_id long, parent_id long, ts long, operation string, "
+        "run_id string, buckets_written long, buckets_skipped long, "
+        "schema_id long, spec_id long", path,
+    )
+    rows = sorted(lin._meta_rows(spark, path), key=lambda r: r.snapshot_id)
+    assert [r.snapshot_id for r in rows] == [1, 2]
+    assert rows[0].parent_id is None and rows[1].parent_id == 1
+    sdf = spark.read.parquet(path)
+    assert dict(sdf.dtypes)["snapshot_id"] == "bigint"
+    assert sdf.count() == 2
