@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .raster import RasterIndex, enrich_with_elevation
+from .raster import RasterIndex
 
 SPLIT_ID_OFFSET = 50_000_000_000
 
@@ -79,11 +79,14 @@ def interpolate(
     res_lon: float,
     res_lat: float,
     link_key: str = "link_id",
+    carry_coords: bool = False,
 ) -> DataFrame:
     """Generate intermediate points (i in 1..n-1) per segment — pure Column
     arithmetic, ``posexplode(sequence)``. Segments with unknown endpoint
     coordinates are skipped (reference: trace + continue,
-    geotiff.rs:545-548)."""
+    geotiff.rs:545-548).  ``carry_coords`` additionally keeps the raw
+    endpoint coordinates (from_lat/from_lon/to_lat/to_lon) so the fused
+    split-threshold path can re-derive neighbor points arithmetically."""
     n = F.ceil(
         F.greatest(
             F.abs(F.col("to_lat") - F.col("from_lat")) / F.lit(res_lat),
@@ -106,10 +109,13 @@ def interpolate(
     )
     s_lat = (F.col("to_lat") - F.col("from_lat")) / F.col("n")
     s_lon = (F.col("to_lon") - F.col("from_lon")) / F.col("n")
+    extra = (
+        ["from_lat", "from_lon", "to_lat", "to_lon"] if carry_coords else []
+    )
     return (
         seg.select(
             link_key, "pos", "from_url", "to_url", "n",
-            "from_elev", "to_elev",
+            "from_elev", "to_elev", *extra,
             F.explode("idx").alias("i"),
             (F.col("from_lat") + F.col("i") * s_lat).alias("lat"),
             (F.col("from_lon") + F.col("i") * s_lon).alias("lon"),
@@ -148,6 +154,14 @@ def assign_split_ids(
         raise ValueError(f"unknown id mode: {mode!r}")
     spark = kept.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialize the kept rows BEFORE range partitioning (guide §5):
+    # repartitionByRange runs a sampling job over its input, so an
+    # unmaterialized `kept` pays its full upstream (segment join, point
+    # explode, raster lookup UDF) twice — once for the sample, once for the
+    # shuffle.  The kept stream is the threshold-filtered tail (orders of
+    # magnitude smaller than the point stream), so pinning it first makes
+    # the sampling pass read a handful of cached blocks instead.
+    kept = kept.localCheckpoint(eager=True)
     ranged = kept.repartitionByRange(parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -198,25 +212,66 @@ def split_ways(
     rewritten_links: links with refs arrays containing the spliced new ids.
     """
     segments = explode_segments(links, nodes, link_key, ref_col, node_key)
-    inter = interpolate(segments, res_lon, res_lat, link_key)
     if raster_index is not None:
-        inter = enrich_with_elevation(inter, raster_index, out_col="elev")
-    else:
-        inter = inter.withColumn("elev", F.lit(None).cast("double"))
-    inter = inter.withColumn("elev0", F.coalesce("elev", F.lit(0.0)))
+        # Fused threshold path (optimization guide §2.4/§4.1): the window
+        # version shuffles + sorts the FULL interpolated point stream on
+        # (link, pos) only to read each point's sequence neighbors — but
+        # neighbor i±1 of ``from + i*step`` is ``from + (i±1)*step``, so ONE
+        # Arrow crossing of six narrow numeric columns computes all three
+        # elevations (numpy routing + gather), and the exchange disappears.
+        # Rounding/coalesce/threshold stay JVM-side: bit-identical to the
+        # window path (pinned by query_snapshot parity at 3 SFs).
+        from .raster import make_lookup3
 
-    # threshold test against RAW sequence neighbors incl. endpoints
-    w = Window.partitionBy(link_key, "pos").orderBy("i")
-    before = F.coalesce(
-        F.lag("elev0").over(w), F.coalesce("from_elev", F.lit(0.0))
-    )
-    after = F.coalesce(
-        F.lead("elev0").over(w), F.coalesce("to_elev", F.lit(0.0))
-    )
-    kept = inter.withColumn(
-        "keep",
-        F.abs(F.col("elev0") - (before + after) / F.lit(2.0)) >= F.lit(threshold),
-    ).where("keep")
+        inter = interpolate(segments, res_lon, res_lat, link_key, carry_coords=True)
+        lookup3 = make_lookup3(raster_index, inter.sparkSession)
+        s_lat = (F.col("to_lat") - F.col("from_lat")) / F.col("n")
+        s_lon = (F.col("to_lon") - F.col("from_lon")) / F.col("n")
+        inter = inter.withColumn(
+            "_ev3",
+            lookup3(
+                F.col("from_lat"), F.col("from_lon"), s_lat, s_lon,
+                F.col("i"), F.col("n"),
+            ),
+        )
+        inter = inter.withColumn("elev", F.round(F.col("_ev3").getField("ev_c"), 2))
+        inter = inter.withColumn("elev0", F.coalesce("elev", F.lit(0.0)))
+        before = F.when(
+            F.col("i") == 1, F.coalesce("from_elev", F.lit(0.0))
+        ).otherwise(
+            F.coalesce(F.round(F.col("_ev3").getField("ev_p"), 2), F.lit(0.0))
+        )
+        after = F.when(
+            F.col("i") == F.col("n") - 1, F.coalesce("to_elev", F.lit(0.0))
+        ).otherwise(
+            F.coalesce(F.round(F.col("_ev3").getField("ev_n"), 2), F.lit(0.0))
+        )
+        kept = (
+            inter.withColumn(
+                "keep",
+                F.abs(F.col("elev0") - (before + after) / F.lit(2.0))
+                >= F.lit(threshold),
+            )
+            .where("keep")
+            .drop("_ev3", "from_lat", "from_lon", "to_lat", "to_lon")
+        )
+    else:
+        inter = interpolate(segments, res_lon, res_lat, link_key)
+        inter = inter.withColumn("elev", F.lit(None).cast("double"))
+        inter = inter.withColumn("elev0", F.coalesce("elev", F.lit(0.0)))
+
+        # threshold test against RAW sequence neighbors incl. endpoints
+        w = Window.partitionBy(link_key, "pos").orderBy("i")
+        before = F.coalesce(
+            F.lag("elev0").over(w), F.coalesce("from_elev", F.lit(0.0))
+        )
+        after = F.coalesce(
+            F.lead("elev0").over(w), F.coalesce("to_elev", F.lit(0.0))
+        )
+        kept = inter.withColumn(
+            "keep",
+            F.abs(F.col("elev0") - (before + after) / F.lit(2.0)) >= F.lit(threshold),
+        ).where("keep")
 
     with_ids = assign_split_ids(
         kept, mode=id_mode, order_cols=(link_key, "pos", "i")

@@ -97,6 +97,146 @@ class RasterIndex:
 ROUTE_JOIN_THRESHOLD = 64  # above this, CASE-chain depth hurts codegen
 
 
+def _gather_elevations(grids: dict, rid_np, lat_np, lon_np):
+    """Vectorized per-tile pixel gather shared by the elevation UDFs.
+
+    ``rid_np`` is an object array of raster_ids (None/NaN = unrouted);
+    returns raw (unrounded) float64 elevations, NaN for unrouted rows,
+    NoData pixels and unknown-CRS tiles — exactly the reference's
+    unwrap_or-none semantics (geotiff.rs:42-49)."""
+    out = np.full(len(rid_np), np.nan)
+    for rid in pd.unique(rid_np[~pd.isna(rid_np)]):
+        g = grids.get(rid)
+        if g is None:
+            continue
+        m = rid_np == rid
+        epsg = g.get("epsg", 4326)
+        if epsg != 4326:
+            from .srs import epsg_supported
+
+            if not epsg_supported(epsg):
+                # unknown CRS -> no value (counted as unknown_crs in
+                # elevation_stats), never a stage failure
+                continue
+            # projected tiff: WGS84 probe -> tiff CRS before the
+            # affine (geotiff.rs:77-93); pixel origin is in CRS units
+            from .srs import wgs84_to_epsg
+
+            xs, ys = wgs84_to_epsg(lat_np[m], lon_np[m], epsg)
+            px = np.floor((xs - g["min_x"]) / g["pixel_w"]).astype(np.int64)
+            py = np.floor((g["max_y"] - ys) / g["pixel_h"]).astype(np.int64)
+        else:
+            px = np.floor((lon_np[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
+            py = np.floor((g["max_lat"] - lat_np[m]) / g["pixel_h"]).astype(np.int64)
+        px = np.clip(px, 0, g["width"] - 1)
+        py = np.clip(py, 0, g["height"] - 1)
+        vals = g["grid"][py, px]
+        vals = np.where(vals == g["nodata"], np.nan, vals)
+        out[m] = vals
+    return out
+
+
+def make_lookup3(index: RasterIndex, spark):
+    """Fused 3-point elevation lookup for way splitting (guide §4.1/§2.4).
+
+    The window version of the split threshold test shuffles + sorts the FULL
+    interpolated point stream just to see each point's sequence neighbors.
+    But neighbor i±1 of point ``from + i*step`` is ``from + (i±1)*step`` —
+    pure arithmetic — so one Arrow crossing of six narrow numeric columns
+    (from_lat, from_lon, step_lat, step_lon, i, n) can compute all three
+    elevations itself: route each of the three points with the numpy twin of
+    the routing CASE and gather from the broadcast grids.  Returns RAW
+    (unrounded) doubles; rounding/coalesce/threshold stay JVM-side so the
+    result is bit-identical to the window path.  ev_p/ev_n are NaN->null at
+    the sequence edges (i==1 / i==n-1) where the window path coalesces to
+    the endpoint elevations."""
+    bc = spark.sparkContext.broadcast((index.routing(), index.grids()))
+
+    @F.pandas_udf("ev_p double, ev_c double, ev_n double")
+    def lookup3(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series, pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.DataFrame]:
+        routing, grids = bc.value
+        tile_grids = [grids.get(t["raster_id"]) for t in routing]
+        for flat_s, flon_s, slat_s, slon_s, i_s, n_s in it:
+            flat = flat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            flon = flon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            slat = slat_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            slon = slon_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            i_f = i_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            n_f = n_s.to_numpy(dtype=np.float64, na_value=np.nan)
+            nrows = len(flat)
+            # one concatenated (3N) routing + gather pass over the three
+            # point sets: prev | center | next
+            lat = np.empty(3 * nrows)
+            lon = np.empty(3 * nrows)
+            for slot, (k, edge) in enumerate((
+                (i_f - 1.0, i_f <= 1.0),
+                (i_f, None),
+                (i_f + 1.0, i_f >= n_f - 1.0),
+            )):
+                # same IEEE ops as interpolate()'s JVM expression:
+                # from + (i * step), double mul then double add (no FMA)
+                p_lat = flat + k * slat
+                p_lon = flon + k * slon
+                if edge is not None:
+                    # endpoint neighbors are never looked up (the window
+                    # path coalesces lag/lead null to from/to elevation)
+                    p_lat = np.where(edge, np.nan, p_lat)
+                lat[slot * nrows:(slot + 1) * nrows] = p_lat
+                lon[slot * nrows:(slot + 1) * nrows] = p_lon
+            # finest-first first-containing-tile routing to int tile indices
+            # (numpy twin of route_col, [min,max) semantics; NaN coords
+            # compare False exactly like the CASE chain's null)
+            idx = np.full(3 * nrows, -1, dtype=np.int32)
+            unrouted = np.ones(3 * nrows, dtype=bool)
+            for j, t in enumerate(routing):
+                if not unrouted.any():
+                    break
+                m = (
+                    unrouted
+                    & (lon >= t["min_lon"]) & (lon < t["max_lon"])
+                    & (lat >= t["min_lat"]) & (lat < t["max_lat"])
+                )
+                idx[m] = j
+                unrouted &= ~m
+            ev = np.full(3 * nrows, np.nan)
+            for j in np.unique(idx):
+                g = tile_grids[j] if j >= 0 else None
+                if g is None:
+                    continue
+                m = idx == j
+                epsg = g.get("epsg", 4326)
+                if epsg != 4326:
+                    from .srs import epsg_supported
+
+                    if not epsg_supported(epsg):
+                        continue
+                    from .srs import wgs84_to_epsg
+
+                    xs, ys = wgs84_to_epsg(lat[m], lon[m], epsg)
+                    px = np.floor((xs - g["min_x"]) / g["pixel_w"]).astype(np.int64)
+                    py = np.floor((g["max_y"] - ys) / g["pixel_h"]).astype(np.int64)
+                else:
+                    px = np.floor((lon[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
+                    py = np.floor((g["max_lat"] - lat[m]) / g["pixel_h"]).astype(np.int64)
+                px = np.clip(px, 0, g["width"] - 1)
+                py = np.clip(py, 0, g["height"] - 1)
+                vals = g["grid"][py, px]
+                ev[m] = np.where(vals == g["nodata"], np.nan, vals)
+            yield pd.DataFrame({
+                "ev_p": ev[:nrows],
+                "ev_c": ev[nrows:2 * nrows],
+                "ev_n": ev[2 * nrows:],
+            })
+
+    # guide §4.4: the keep-filter references the UDF's output columns; left
+    # deterministic, the optimizer pushes the filter below the projection and
+    # evaluates the UDF TWICE (two ArrowEvalPython nodes).  The function is
+    # pure — the marker only forbids duplication/reordering.
+    return lookup3.asNondeterministic()
+
+
 def route_col(index: RasterIndex, lat: Column, lon: Column) -> Column:
     """Finest-containing-tile raster_id as a literal CASE chain
     ([min,max) bbox semantics so pixel indices stay in range).
@@ -195,39 +335,10 @@ def enrich_with_elevation(
     def lookup(it: Iterator[tuple[pd.Series, pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         grids = bc.value
         for rid_s, lon_s, lat_s in it:
-            out = np.full(len(rid_s), np.nan)
             rids = rid_s.to_numpy(dtype=object)
             lon_np = lon_s.to_numpy(dtype=np.float64, na_value=np.nan)
             lat_np = lat_s.to_numpy(dtype=np.float64, na_value=np.nan)
-            for rid in pd.unique(rid_s.dropna()):
-                g = grids.get(rid)
-                if g is None:
-                    continue
-                m = rids == rid
-                epsg = g.get("epsg", 4326)
-                if epsg != 4326:
-                    from .srs import epsg_supported
-
-                    if not epsg_supported(epsg):
-                        # unknown CRS -> no value (counted as unknown_crs in
-                        # elevation_stats), never a stage failure
-                        continue
-                    # projected tiff: WGS84 probe -> tiff CRS before the
-                    # affine (geotiff.rs:77-93); pixel origin is in CRS units
-                    from .srs import wgs84_to_epsg
-
-                    xs, ys = wgs84_to_epsg(lat_np[m], lon_np[m], epsg)
-                    px = np.floor((xs - g["min_x"]) / g["pixel_w"]).astype(np.int64)
-                    py = np.floor((g["max_y"] - ys) / g["pixel_h"]).astype(np.int64)
-                else:
-                    px = np.floor((lon_np[m] - g["min_lon"]) / g["pixel_w"]).astype(np.int64)
-                    py = np.floor((g["max_lat"] - lat_np[m]) / g["pixel_h"]).astype(np.int64)
-                px = np.clip(px, 0, g["width"] - 1)
-                py = np.clip(py, 0, g["height"] - 1)
-                vals = g["grid"][py, px]
-                vals = np.where(vals == g["nodata"], np.nan, vals)
-                out[m] = vals
-            yield pd.Series(out)
+            yield pd.Series(_gather_elevations(grids, rids, lat_np, lon_np))
 
     if len(index.tiles) <= ROUTE_JOIN_THRESHOLD:
         routed = df.withColumn(
