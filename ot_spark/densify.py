@@ -51,27 +51,55 @@ def explode_segments(
     node_key: str = "url",
 ) -> DataFrame:
     """links.refs ⨝ nodes -> one row per consecutive segment with both
-    endpoint coordinates (+ elevation if present)."""
+    endpoint coordinates (+ elevation if present).
+
+    Consecutive (from, to) ref pairs are built directly from the refs array
+    (``arrays_zip`` of two ``slice``s) BEFORE the explode — the refs already
+    sit adjacent in one array cell, so pairing them through a
+    lag/lead-style window (explode -> Exchange(link) -> Sort -> lead) paid a
+    full shuffle+sort of the exploded ref stream for information the array
+    cell alreadly held (guide §2.4).  Coordinates then attach with one
+    equi-join per endpoint against the SAME projected node frame — the two
+    joins share the node-side exchange (ReuseExchange) when the planner
+    shuffles, and no exchange at all when it broadcasts.  Node urls are
+    unique by contract (the reference's node cache is a hash map keyed by
+    id, geotiff.rs:463-477), which both the window and join forms require."""
     has_elev = "elev" in nodes.columns
     node_cols = [node_key, "lat", "lon"] + (["elev"] if has_elev else [])
-    exploded = links.select(
-        link_key, F.posexplode(ref_col).alias("pos", node_key)
-    )
-    joined = exploded.join(nodes.select(*node_cols), node_key, "left")
+    node_side = nodes.select(*node_cols)
     if not has_elev:
-        joined = joined.withColumn("elev", F.lit(None).cast("double"))
-    w = Window.partitionBy(link_key).orderBy("pos")
-    seg = (
-        joined.withColumn("to_url", F.lead(node_key).over(w))
-        .withColumn("to_lat", F.lead("lat").over(w))
-        .withColumn("to_lon", F.lead("lon").over(w))
-        .withColumn("to_elev", F.lead("elev").over(w))
-        .where(F.col("to_url").isNotNull())
-        .withColumnsRenamed(
-            {node_key: "from_url", "lat": "from_lat", "lon": "from_lon", "elev": "from_elev"}
-        )
+        node_side = node_side.withColumn("elev", F.lit(None).cast("double"))
+    # greatest(0): slice() raises on negative length for empty refs arrays
+    n_pairs = F.greatest(F.size(F.col(ref_col)) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col(ref_col), F.lit(1), n_pairs),
+        F.slice(F.col(ref_col), F.lit(2), n_pairs),
     )
-    return seg
+    seg = links.select(
+        link_key, F.posexplode(pairs).alias("pos", "_pair")
+    ).select(
+        link_key,
+        "pos",
+        F.col("_pair")["0"].alias("from_url"),
+        F.col("_pair")["1"].alias("to_url"),
+    )
+    frm = node_side.select(
+        F.col(node_key).alias("from_url"),
+        F.col("lat").alias("from_lat"),
+        F.col("lon").alias("from_lon"),
+        F.col("elev").alias("from_elev"),
+    )
+    to = node_side.select(
+        F.col(node_key).alias("to_url"),
+        F.col("lat").alias("to_lat"),
+        F.col("lon").alias("to_lon"),
+        F.col("elev").alias("to_elev"),
+    )
+    seg = seg.join(frm, "from_url", "left").join(to, "to_url", "left")
+    return seg.select(
+        link_key, "pos", "from_url", "from_lat", "from_lon", "from_elev",
+        "to_url", "to_lat", "to_lon", "to_elev",
+    )
 
 
 def interpolate(
