@@ -170,6 +170,15 @@ def hits_fixed(
     Returns (node, authority, hub) after ``iters`` full rounds.
     """
     def _norm(df: DataFrame, c: str) -> DataFrame:
+        # localCheckpoint before the max-normalization: the crossJoin
+        # references df TWICE (score stream + one-row max aggregate), and
+        # each round's input embeds the previous round's output, so the
+        # unrolled plan grew 4x PER ROUND (iters=2 planned 6001 lines /
+        # 352 Exchanges / 224 scans; execution was saved by exchange reuse
+        # but planning+AQE bookkeeping was not).  Truncating here pins one
+        # |nodes|-row frame per half-round and keeps the plan linear —
+        # the label_prop/kcore/CC lineage pattern (guide §5).
+        df = df.localCheckpoint()
         mx = df.agg(
             F.greatest(F.max(c), F.lit(1)).cast("long").alias("__mx")
         )
