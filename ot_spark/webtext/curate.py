@@ -348,29 +348,32 @@ def bigram_logprob(
     )
     up = uni.select(F.col("term").alias("prev"), F.col("cu").alias("cp"))
     n = float(total_tokens)
-    first = (
-        pos.where("i = 0")
-        .join(uni, "term")
-        .select("doc_id", (-F.log(F.col("cu") / n)).alias("nl"))
-    )
-    rest = (
-        pos.where("i > 0")
-        .join(uni, "term")
-        .join(up, "prev")
-        .join(bi, ["prev", "term"])
+    # ONE pass over the position stream (guide §2.4): the old
+    # first(i=0)/rest(i>0) branch pair re-read the materialized stream and
+    # re-ran the join chain twice before a union; fused, the i=0 rows ride
+    # the same joins as LEFT joins (their null prev never matches) and a
+    # CASE picks the unigram score.  For i>0 the left joins are inner in
+    # effect — within-corpus scoring guarantees every (prev, term) exists.
+    # Per-row scores are the identical expressions; only the aggregation
+    # ORDER changes, absorbed by the 6dp round (snapshot-verified).
+    scored = (
+        pos.join(uni, "term")
+        .join(up, "prev", "left")
+        .join(bi, ["prev", "term"], "left")
         .select(
             "doc_id",
-            (
+            F.when(F.col("i") == 0, -F.log(F.col("cu") / n))
+            .otherwise(
                 -F.log(
                     lam * (F.col("cb") / F.col("cp"))
                     + om * (F.col("cu") / n)
                 )
-            ).alias("nl"),
+            )
+            .alias("nl"),
         )
     )
     return (
-        first.unionByName(rest)
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.avg("nl"), 6).alias("avg_neg_logp"),
