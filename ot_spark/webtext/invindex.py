@@ -135,12 +135,17 @@ def pmi_pairs(
     cross-engine gate (counts are BIGINTs).
     """
     t = with_tokens(docs.select(id_col, text_col), text_col)
-    # three consumers (pair legs a and b, the df table) — tokenize once
+    # three consumers (pair legs a and b, the df table) — tokenize once.
+    # repartition("doc") BEFORE the materialization: localCheckpoint
+    # preserves outputPartitioning, so the pair self-join below reads both
+    # legs co-partitioned on doc and plans ZERO further exchanges (one
+    # repartition replaces the two per-leg join exchanges of the same
+    # stream — the substring_dup shared-shuffle pattern, guide §2.4).
     terms = _materialize(
         t.select(
             F.col(id_col).alias("doc"),
             F.explode(F.array_distinct(F.col(TOKENS_COL))).alias("term"),
-        )
+        ).repartition("doc")
     )
     a = terms.select("doc", F.col("term").alias("x"))
     b = terms.select("doc", F.col("term").alias("y"))
