@@ -122,6 +122,32 @@ def _read(
 FAN_ROWS = 20000
 
 
+def _table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of an unfiltered base table from parquet footers
+    (driver-side pyarrow, ~ms) — by definition equal to ``.count()`` on the
+    bare scan, without the scan+aggregate Spark job the count schedules
+    (guide §5: metadata work belongs on the driver).  The graph-family
+    queries each burned one such job for |V|.  Falls back to a Spark count
+    when the layout is not local parquet."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if _os.path.isfile(path):
+            return _pq.read_metadata(path).num_rows
+        if _os.path.isdir(path):
+            return sum(
+                _pq.read_metadata(f).num_rows
+                for f in _glob.glob(_os.path.join(path, "*.parquet"))
+            )
+    except Exception:  # noqa: BLE001 — unreadable footer: count for real
+        pass
+    return spark.read.parquet(path).count()
+
+
 def q_complex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 ComplexElementsFilter over a real attrs map (filter.rs:184-273)."""
     df = pagesview.pages_df(spark, sf_dir)
@@ -895,7 +921,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import pagerank_fixed, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     edges = synthetic_edges(docs, n)
     ranks = pagerank_fixed(
         edges, docs.select(F.col("doc_id").alias("node")), n, iters=3
@@ -962,7 +988,7 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import bfs_depth, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     edges = synthetic_edges(docs, n)
     seeds = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("node")
@@ -1001,7 +1027,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import hits_fixed, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     edges = synthetic_edges(docs, n)
     out = hits_fixed(
         edges, docs.select(F.col("doc_id").alias("node")), iters=2
@@ -1055,7 +1081,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import synthetic_edges, triangles
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     out = triangles(synthetic_edges(docs, n))
     return out.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
 
@@ -1103,7 +1129,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import ppr_fixed, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     edges = synthetic_edges(docs, n)
     nodes = docs.select(F.col("doc_id").alias("node"))
     seeds = docs.where(F.col("doc_id") % 97 == 0).select(
@@ -1152,7 +1178,7 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import cocitation, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     hosted = synthetic_edges(docs, n).select(
         "src", (F.col("dst") % 50).alias("dst")
     )
@@ -1191,7 +1217,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import label_prop, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     edges = synthetic_edges(docs, n)
     return label_prop(
         edges, docs.select(F.col("doc_id").alias("node")), iters=3
@@ -1238,7 +1264,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.graph import kcore, synthetic_edges
 
     docs = _read(spark, sf_dir, "documents")
-    n = docs.count()
+    n = _table_rows(spark, sf_dir, "documents")
     return kcore(synthetic_edges(docs, n), k=3, rounds=3)
 
 
@@ -1928,7 +1954,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ot_spark.webtext.curate import tfidf_top_terms
 
     docs = _read(spark, sf_dir, "documents", fan=True)
-    return tfidf_top_terms(docs, n_docs=docs.count(), k=5)
+    return tfidf_top_terms(docs, n_docs=_table_rows(spark, sf_dir, "documents"), k=5)
 
 
 def _tfidf_oracle_sql() -> str:
