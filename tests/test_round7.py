@@ -294,3 +294,87 @@ def test_lineage_metadata_driver_side_roundtrip(spark, tmp_path):
     sdf = spark.read.parquet(path)
     assert dict(sdf.dtypes)["snapshot_id"] == "bigint"
     assert sdf.count() == 2
+
+
+def test_fused_split_threshold_matches_window_path(spark, fixture_dir):
+    """The fused 3-point elevation threshold (raster.make_lookup3 inside
+    split_ways) reproduces the lag/lead window form bit-for-bit: same kept
+    nodes, same ids, same elevations, on a fixture where neighbors matter
+    (multi-point segments crossing tiles of varying elevation)."""
+    from pyspark.sql import Window, functions as F
+
+    from ot_spark import densify, raster
+    from ot_spark.raster import enrich_with_elevation
+
+    rdf = spark.read.parquet(f"{fixture_dir}/raster_tiles.parquet")
+    ridx = raster.RasterIndex.from_df(rdf)
+    nodes = spark.createDataFrame(
+        [("a", 0.1, 0.1, None), ("b", 0.1, 1.9, 150.0), ("c", 1.9, 1.9, None),
+         ("d", 1.9, 0.1, 80.0)],
+        "url string, lat double, lon double, elev double",
+    )
+    links = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["c", "d"]), (3, ["d", "a", "d"])],
+        "link_id long, refs array<string>",
+    )
+    fused, _ = densify.split_ways(
+        links, nodes, ridx, res_lon=0.3, res_lat=0.3, threshold=0.05
+    )
+
+    # reference: the window form, built from the same primitives
+    seg = densify.explode_segments(links, nodes)
+    inter = densify.interpolate(seg, 0.3, 0.3)
+    inter = enrich_with_elevation(inter, ridx, out_col="elev")
+    inter = inter.withColumn("elev0", F.coalesce("elev", F.lit(0.0)))
+    w = Window.partitionBy("link_id", "pos").orderBy("i")
+    before = F.coalesce(F.lag("elev0").over(w), F.coalesce("from_elev", F.lit(0.0)))
+    after = F.coalesce(F.lead("elev0").over(w), F.coalesce("to_elev", F.lit(0.0)))
+    kept = inter.withColumn(
+        "keep", F.abs(F.col("elev0") - (before + after) / F.lit(2.0)) >= F.lit(0.05)
+    ).where("keep")
+    ref = densify.assign_split_ids(kept, mode="contract")
+
+    got = {(r.node_id, r.link_id, r.pos, r.i, r.lat, r.lon, r.elev)
+           for r in fused.collect()}
+    want = {(r.node_id, r.link_id, r.pos, r.i, r.lat, r.lon, r.elev0)
+            for r in ref.collect()}
+    assert got and got == want
+
+
+def test_table_rows_matches_count(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    for name in ("documents", "orders"):
+        want = entrymod._read(spark, sf_dir, name).count()
+        assert entrymod._table_rows(spark, sf_dir, name) == want
+
+
+def test_explode_segments_edge_shapes(spark):
+    """Pairs-from-array segment construction: empty / single / null refs
+    produce no segments; multi-ref links produce consecutive pairs in pos
+    order with both endpoints' coordinates."""
+    from pyspark.sql import functions as F
+
+    from ot_spark import densify
+
+    nodes = spark.createDataFrame(
+        [("a", 0.0, 0.0, None), ("b", 1.0, 0.5, 7.0), ("c", 2.0, 1.0, None)],
+        "url string, lat double, lon double, elev double",
+    )
+    links = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, []), (4, None), (5, ["b", "zz"])],
+        "link_id long, refs array<string>",
+    )
+    seg = densify.explode_segments(links, nodes).collect()
+    by_link = {}
+    for r in seg:
+        by_link.setdefault(r.link_id, []).append(r)
+    assert set(by_link) == {1, 5}
+    s1 = sorted(by_link[1], key=lambda r: r.pos)
+    assert [(r.pos, r.from_url, r.to_url) for r in s1] == [
+        (0, "a", "b"), (1, "b", "c")]
+    assert s1[0].from_lat == 0.0 and s1[0].to_lat == 1.0
+    assert s1[0].to_elev == 7.0 and s1[1].from_elev == 7.0
+    # unknown endpoint: segment row survives with null coords
+    s5 = by_link[5][0]
+    assert s5.to_url == "zz" and s5.to_lat is None
