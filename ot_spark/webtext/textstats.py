@@ -96,6 +96,39 @@ def repetition_stats_col(ns: tuple[int, ...] = (2, 3, 4)) -> Column:
     return stats.asNondeterministic()
 
 
+def rep2_stats_col() -> Column:
+    """pandas UDF factory for with_repetition's two integers in ONE Arrow
+    pass: top2 (max bigram multiplicity == the sorted-array fold's longest
+    run) and nd (distinct-token count == size(array_distinct)).  The JVM
+    fold it replaces is a higher-order `aggregate` — CodegenFallback, so
+    every element evaluated the lambda interpreted (the same cost
+    repetition_full shed when it moved to repetition_stats_col).  Null
+    token arrays map to null stats, matching the fold's null propagation."""
+    schema = StructType(
+        [StructField("top2", IntegerType()), StructField("nd", IntegerType())]
+    )
+
+    @F.pandas_udf(schema)
+    def stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for col in it:
+            top2: list = []
+            nd: list = []
+            for toks in col:
+                if toks is None:
+                    top2.append(None)
+                    nd.append(None)
+                    continue
+                t = list(toks)
+                best, _ = _ngram_counter_stats(t, 2)
+                top2.append(best)
+                nd.append(len(set(t)))
+            yield pd.DataFrame({"top2": top2, "nd": nd})
+
+    # nondeterministic marker: stops column pruning from cloning the UDF
+    # once per extracted struct field (see enrich_fused.spatial_enrich)
+    return stats.asNondeterministic()
+
+
 def clean_stats_col(langs: dict[str, list[str]]) -> Column:
     """pandas UDF factory for the fused cleaning features: per-language
     stopword hit counts (== size(filter(toks, isin(words)))), the top
@@ -284,27 +317,15 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     of bigram mass, <= 50%% duplicate tokens)."""
     tok = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
-    bg = bigrams_col(toks)
-    # longest equal run in sorted order == max multiplicity; struct fold
-    # (prev, run, best) finished by a max against the final run
-    run_best = F.aggregate(
-        F.array_sort(bg),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, s: F.struct(
-            s.alias("prev"),
-            F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best, F.when(s == acc.prev, acc.run + 1).otherwise(F.lit(1))
-            ).alias("best"),
-        ),
-        lambda acc: acc.best,
-    )
-    out = tok.withColumns(
+    # top bigram multiplicity + distinct-token count in ONE Arrow pass
+    # (rep2_stats_col) — the former JVM fold over array_sort(bigrams) was
+    # a CodegenFallback higher-order aggregate evaluated interpreted per
+    # element, the exact cost repetition_full already shed; every fraction
+    # below is the same JVM expression as before (bit-identical outputs).
+    out = tok.withColumn("__st", rep2_stats_col()(toks)).withColumns(
         {
             "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("long"),
-            "top_bigram_n": run_best.cast("long"),
+            "top_bigram_n": F.col("__st.top2").cast("long"),
         }
     )
     n_toks = F.size(toks)
@@ -313,7 +334,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         n_toks > 0,
-        1.0 - F.size(F.array_distinct(toks)) / n_toks,
+        1.0 - F.col("__st.nd") / n_toks,
     ).otherwise(F.lit(0.0))
     return out.withColumns(
         {
@@ -321,7 +342,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_token_frac": F.round(dup_frac, 6),
             "keep_repetition": (top_frac <= 0.18) & (dup_frac <= 0.5),
         }
-    ).drop(TOKENS_COL)
+    ).drop(TOKENS_COL, "__st")
 
 
 def ngrams_col(tokens: Column, n: int) -> Column:

@@ -378,3 +378,27 @@ def test_explode_segments_edge_shapes(spark):
     # unknown endpoint: segment row survives with null coords
     s5 = by_link[5][0]
     assert s5.to_url == "zz" and s5.to_lat is None
+
+
+def test_rep2_stats_matches_reference_fold(spark):
+    """rep2_stats_col (Arrow) == the retired JVM fold: max bigram
+    multiplicity and distinct-token count, incl. empty/1-token/null."""
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext.textstats import rep2_stats_col
+
+    rows = [
+        (1, ["a", "b", "a", "b", "a", "b"]),   # top bigram "a b" x3
+        (2, ["x"]),                            # no bigrams
+        (3, []),                               # empty
+        (4, None),                             # null tokens
+        (5, ["q", "q", "q", "q"]),             # "q q" x3, nd=1
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        r.id: (r.st["top2"], r.st["nd"])
+        for r in df.select("id", rep2_stats_col()(F.col("toks")).alias("st")).collect()
+    }
+    assert got == {
+        1: (3, 2), 2: (0, 1), 3: (0, 0), 4: (None, None), 5: (3, 1)
+    }
