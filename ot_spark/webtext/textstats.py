@@ -9,10 +9,11 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from .dedup import TOKENS_COL, tokens_col, with_tokens
 
@@ -186,11 +187,19 @@ def quality_features(text: Column, tokens: Column | None = None) -> dict[str, Co
     toks = tokens_col(text) if tokens is None else tokens
     n_tokens = F.size(toks)
     n_chars = F.length(text)
-    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    punct_chars = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    # char-class counts via translate deletion (len(text) - len(text minus
+    # the class)) — a plain char-map scan instead of a regex engine pass
+    # building the complement string; identical counts (both enumerate the
+    # exact same code points)
+    _alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    alpha_chars = n_chars - F.length(F.translate(text, _alpha, ""))
+    punct_chars = n_chars - F.length(F.translate(text, ".,;:!?", ""))
+    # sum of token lengths == length of the separator-less concat — plain
+    # codegen string ops instead of a CodegenFallback interpreted fold
+    # (same integer, so the division is bit-identical)
     mean_tok_len = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tokens,
+        F.length(F.concat_ws("", toks)) / n_tokens,
     ).otherwise(F.lit(0.0))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
     return {
@@ -267,23 +276,62 @@ def _rolling_over_hashes(hashed: Column, window: int) -> Column:
     return F.transform(idx, window_hash)
 
 
+def fingerprint_min_col(window: int = 8) -> Column:
+    """pandas UDF factory: token-hash array -> min rolling-window
+    fingerprint, the Arrow twin of ``array_min(_rolling_over_hashes(...))``.
+
+    The JVM form is a CodegenFallback higher-order transform+aggregate —
+    O(n * window) interpreted lambda steps per document.  Here the same
+    polynomial is ``window`` vectorized numpy ops over all window starts
+    (values stay < 2^31-1, so acc*31+h < 2^36 never overflows int64 and
+    ``%`` equals pmod).  Fewer than ``window`` tokens fold one partial
+    window exactly like ``sequence(0, greatest(n-w, 0))`` does; null hash
+    arrays map to null."""
+
+    @F.pandas_udf(LongType())
+    def fpmin(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        p = FP_PRIME
+        for col in it:
+            out: list = []
+            for h in col:
+                if h is None:
+                    out.append(None)
+                    continue
+                a = np.asarray(h, dtype=np.int64)
+                n = len(a)
+                if n >= window:
+                    nw = n - window + 1
+                    fp = np.zeros(nw, dtype=np.int64)
+                    for j in range(window):
+                        fp = (fp * 31 + a[j:j + nw]) % p
+                    out.append(int(fp.min()))
+                else:
+                    acc = 0
+                    for v in a.tolist():
+                        acc = (acc * 31 + int(v)) % p
+                    out.append(acc)
+            yield pd.Series(out, dtype="Int64")
+
+    return fpmin
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8, hash_mode: str = "xxhash"
 ) -> DataFrame:
     """Winnowing-lite document fingerprint: min window hash (stable under
     local edits) + full-content hash.
 
-    Token hashes are materialized as a bound column before the window
-    fold — the fold references the hash array once per window position,
-    and an unbound expression would re-hash every token per window (see
-    ``with_tokens``)."""
+    Token hashes are materialized as a bound column (hashing inside the
+    window fold would re-hash every token per window, see ``with_tokens``);
+    the rolling fold itself runs in ONE Arrow pass
+    (:func:`fingerprint_min_col` — bit-identical to the JVM
+    transform+aggregate, pinned by ``test_fingerprint_min_matches_fold``)."""
     hashed = with_tokens(df, text_col).withColumn(
         "__thash", token_hashes(F.col(TOKENS_COL), hash_mode)
     )
-    fps = _rolling_over_hashes(F.col("__thash"), window)
     return hashed.withColumns(
         {
-            "fingerprint_min": F.array_min(fps).cast("long"),
+            "fingerprint_min": fingerprint_min_col(window)(F.col("__thash")),
             "content_hash": F.md5(F.col(text_col)),
         }
     ).drop(TOKENS_COL, "__thash")

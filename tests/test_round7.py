@@ -402,3 +402,37 @@ def test_rep2_stats_matches_reference_fold(spark):
     assert got == {
         1: (3, 2), 2: (0, 1), 3: (0, 0), 4: (None, None), 5: (3, 1)
     }
+
+
+def test_fingerprint_min_matches_fold(spark):
+    """fingerprint_min_col (Arrow) == array_min over the JVM rolling fold,
+    incl. short (<window) and empty token arrays."""
+    from pyspark.sql import functions as F
+
+    from ot_spark.webtext import textstats as ts
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three"),          # < window tokens
+        (3, ""),                        # empty
+        (4, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    hashed = ts.with_tokens(df, "text").withColumn(
+        "__thash", ts.token_hashes(F.col(ts.TOKENS_COL), "md5")
+    )
+    ref = {
+        r.doc_id: r.m
+        for r in hashed.select(
+            "doc_id",
+            F.array_min(ts._rolling_over_hashes(F.col("__thash"), 8))
+            .cast("long").alias("m"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.m
+        for r in hashed.select(
+            "doc_id", ts.fingerprint_min_col(8)(F.col("__thash")).alias("m")
+        ).collect()
+    }
+    assert got == ref and len(ref) == 4
