@@ -1301,18 +1301,25 @@ def q_ivfpq_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws are not ANSI-SQL-expressible — the driver records the weaker
     rows-only check; quality + plan shape are pytest-pinned."""
     from ot_spark.webtext.simsearch import (
-        build_ivfpq_index, ivfpq_search_packed, train_ivf_centroids,
-        train_pq_codebooks,
+        _xxhash_sample, build_ivfpq_index, ivfpq_search_packed,
+        train_ivf_centroids, train_pq_codebooks,
     )
 
     emb = _read(spark, sf_dir, "embeddings", fan=True)
     ck, bk = ("ivf_prod", sf_dir), ("pq_prod", sf_dir)
+    if ck not in _TRAIN_CACHE or bk not in _TRAIN_CACHE:
+        # both trainers draw the IDENTICAL sample (same ordering
+        # expression, seed, size) — collect it once; the sort over the
+        # full vector table scales with the corpus, the sample does not
+        sx = _xxhash_sample(emb, 4096, "embedding", 42)
     if ck not in _TRAIN_CACHE:
         _TRAIN_CACHE[ck] = train_ivf_centroids(
-            emb, n_centroids=32, sample=4096, iters=10
+            emb, n_centroids=32, sample=4096, iters=10, sample_X=sx
         )
     if bk not in _TRAIN_CACHE:
-        _TRAIN_CACHE[bk] = train_pq_codebooks(emb, m=16, k=256, sample=4096, iters=10)
+        _TRAIN_CACHE[bk] = train_pq_codebooks(
+            emb, m=16, k=256, sample=4096, iters=10, sample_X=sx
+        )
     cent, books = _TRAIN_CACHE[ck], _TRAIN_CACHE[bk]
     index = build_ivfpq_index(emb, cent, books, replicas=2)
     qvec = list(emb.where("vec_id = 0").first().embedding)

@@ -235,6 +235,24 @@ def embedding_near_pairs(
     )
 
 
+def _xxhash_sample(
+    df: DataFrame, sample: int, vec_col: str, seed: int
+) -> np.ndarray:
+    """The deterministic xxhash-ordered training sample, as an (n, d)
+    float64 matrix.  Shared by the production IVF and PQ trainers, which
+    use the IDENTICAL ordering expression, seed and size — a caller
+    training both (q_ivfpq_prod) can collect once and pass the matrix to
+    each via ``sample_X``, halving the per-process sort of the full
+    vector table (the sort scales with the corpus; the sample does not)."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -242,13 +260,19 @@ def train_ivf_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_X: np.ndarray | None = None,
 ) -> np.ndarray:
     """Deterministic mini-Lloyd on a driver-side sample (dimension table
-    scale — the sample, not the corpus, comes to the driver)."""
-    rows = (
-        df.select(vec_col).orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed))).limit(sample).collect()
+    scale — the sample, not the corpus, comes to the driver).
+    ``sample_X``: a precollected ``_xxhash_sample(df, sample, vec_col,
+    seed)`` matrix — MUST be exactly that, byte-for-byte, or results
+    drift; the default path collects it here."""
+    X = (
+        sample_X
+        if sample_X is not None
+        else _xxhash_sample(df, sample, vec_col, seed)
     )
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), n_centroids, replace=False)]
@@ -475,6 +499,31 @@ def with_pq_codes(
     )
 
 
+def _sq_l2_small_sub(Xs: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared-L2 matrix, BIT-IDENTICAL to
+    ``((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)`` for
+    sub = Xs.shape[1] <= 7, ~5x faster at the production shape (sub=4).
+
+    Why identical: each (row, centroid, dim) difference/square is the
+    same scalar op either way, and numpy's pairwise summation reduces a
+    length-<8 axis in plain left-to-right order — exactly the order of
+    this explicit term accumulation — so every float is reproduced to
+    the last ulp (pinned by tests/test_round7_pq.py on random data;
+    at length 8 numpy switches to its unrolled multi-accumulator loop
+    and the orders diverge, measured, so 8 takes the fallback).
+    Why faster: the broadcast form materializes an (n, k, sub) 3D
+    temporary (33 MB at n=4096, k=256 — far past L2) twice per call;
+    accumulating per-dim (n, k) planes keeps the working set ~8x
+    smaller."""
+    sub = Xs.shape[1]
+    if sub > 7:
+        return ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d2 = (Xs[:, 0, None] - cent[None, :, 0]) ** 2
+    for j in range(1, sub):
+        d2 += (Xs[:, j, None] - cent[None, :, j]) ** 2
+    return d2
+
+
 def train_pq_codebooks(
     df: DataFrame,
     m: int = 16,
@@ -483,6 +532,7 @@ def train_pq_codebooks(
     iters: int = 10,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_X: np.ndarray | None = None,
 ) -> np.ndarray:
     """PRODUCTION PQ trainer (vs the oracle-portable m=4/k=8 twin above):
     k=256 uint8 codebooks, kmeans++ init, >= 10 vectorized Lloyd
@@ -492,13 +542,11 @@ def train_pq_codebooks(
     embeddings — m=8 was measured at 0.67 there (no cluster structure to
     exploit), m=16 at 0.825; real corpora with cluster structure do
     better at the same m.  Returns (m, k', d/m) with k' = min(k, n)."""
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed)))
-        .limit(sample)
-        .collect()
+    X = (
+        np.asarray(sample_X, dtype=np.float64)
+        if sample_X is not None
+        else _xxhash_sample(df, sample, vec_col, seed)
     )
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
     n, d = X.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     k = min(k, n)
@@ -518,7 +566,7 @@ def train_pq_codebooks(
             d2 = np.minimum(d2, ((Xs - Xs[i]) ** 2).sum(axis=1))
         cent = np.asarray(cent)
         for _ in range(iters):
-            assign = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            assign = _sq_l2_small_sub(Xs, cent).argmin(axis=1)
             for c in range(k):
                 members = Xs[assign == c]
                 if len(members):
@@ -550,8 +598,7 @@ def with_pq_codes_packed(
         codes = np.empty((len(X), m), dtype=np.uint8)
         for j in range(m):
             Xs = X[:, j * sub:(j + 1) * sub]
-            d2 = ((Xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
+            codes[:, j] = _sq_l2_small_sub(Xs, b[j]).argmin(axis=1)
         return pd.Series([c.tobytes() for c in codes])
 
     return df.withColumn(out_col, enc(F.col(vec_col).cast("array<double>")))
@@ -626,12 +673,24 @@ def build_ivfpq_index(
     @F.pandas_udf(schema)
     def enc(s: pd.Series) -> pd.DataFrame:
         X = np.asarray(s.tolist(), dtype=np.float64)
-        d2c = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        cells = np.argsort(d2c, axis=1)[:, :replicas].astype(np.int32)
+        # row-chunked coarse assignment: the one-shot broadcast form
+        # materializes an (n, n_cells, d) 3D temporary (>1 GB at the
+        # 64k-row Arrow batch x 32 cells x 64 dims); chunking the ROW
+        # axis leaves every per-(row, cell) reduction untouched, so the
+        # distances (and their argsort) are bit-identical, with a ~67 MB
+        # working set per chunk.
+        width = min(replicas, len(cent))  # matches the pre-chunk slice
+        cells = np.empty((len(X), width), dtype=np.int32)
+        for lo in range(0, len(X), 4096):
+            Xc = X[lo:lo + 4096]
+            d2c = ((Xc[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cells[lo:lo + 4096] = np.argsort(
+                d2c, axis=1
+            )[:, :width].astype(np.int32)
         codes = np.empty((len(X), m), dtype=np.uint8)
         for j in range(m):
             Xs = X[:, j * sub:(j + 1) * sub]
-            codes[:, j] = ((Xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            codes[:, j] = _sq_l2_small_sub(Xs, b[j]).argmin(axis=1)
         return pd.DataFrame({
             "cells": [c.tolist() for c in cells],
             "pq_code": [c.tobytes() for c in codes],
